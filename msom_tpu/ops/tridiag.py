@@ -1,0 +1,37 @@
+"""Batched tridiagonal (Thomas) solves over the layer axis.
+
+The reference performs a scalar Thomas solve per cell inside hot loops
+(/root/reference/msqg/poisson_layer.h:137-146, /root/reference/mspg/pg.h:493-506).
+Here the vertical dimension is small and static (nl <= ~30), so the
+elimination is unrolled over layers and vectorized over all (ny, nx) cells at
+once — pure VPU work, deterministic, order-independent.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def thomas(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray,
+           rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve t0[l]*x[l-1] + t1[l]*x[l] + t2[l]*x[l+1] = rhs[l] for each cell.
+
+    All inputs have shape (nl, ...). The layer loop is unrolled (nl is
+    static); every step is a batched elementwise op over the trailing axes.
+    """
+    nl = t1.shape[0]
+    if nl == 1:
+        return rhs / t1
+    # forward elimination
+    cp = [t2[0] / t1[0]]
+    dp = [rhs[0] / t1[0]]
+    for l in range(1, nl):
+        m = t1[l] - t0[l] * cp[-1]
+        cp.append(t2[l] / m)
+        dp.append((rhs[l] - t0[l] * dp[-1]) / m)
+    # back substitution
+    x = [dp[-1]]
+    for l in range(nl - 2, -1, -1):
+        x.append(dp[l] - cp[l] * x[-1])
+    x.reverse()
+    return jnp.stack(x, axis=0)

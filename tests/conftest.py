@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+float64 enabled, so results can be compared against NumPy references at
+tight tolerances and multi-device sharding is exercised without TPU pods.
+
+NOTE: in this environment the JAX_PLATFORMS env var is not honored (an
+'axon' TPU-tunnel plugin grabs the platform), so the platform is forced via
+jax.config, which must happen before any computation."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
