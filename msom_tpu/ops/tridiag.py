@@ -19,17 +19,32 @@ def thomas(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray,
     All inputs have shape (nl, ...). The layer loop is unrolled (nl is
     static); every step is a batched elementwise op over the trailing axes.
     """
+    cp, im = factor(t0, t1, t2)
+    return solve_factored(cp, im, t0, rhs)
+
+
+def factor(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray):
+    """Precompute the Thomas elimination factors (cp, inv_m) so repeated
+    solves with the same matrix (e.g. every multigrid relaxation sweep on a
+    level) only do the rhs sweep. m[l] = t1[l] - t0[l]*cp[l-1];
+    cp[l] = t2[l]/m[l]; inv_m = 1/m."""
     nl = t1.shape[0]
-    if nl == 1:
-        return rhs / t1
-    # forward elimination
-    cp = [t2[0] / t1[0]]
-    dp = [rhs[0] / t1[0]]
+    im = [1.0 / t1[0]]
+    cp = [t2[0] * im[0]]
     for l in range(1, nl):
         m = t1[l] - t0[l] * cp[-1]
-        cp.append(t2[l] / m)
-        dp.append((rhs[l] - t0[l] * dp[-1]) / m)
-    # back substitution
+        im.append(1.0 / m)
+        cp.append(t2[l] * im[-1])
+    return jnp.stack(cp, axis=0), jnp.stack(im, axis=0)
+
+
+def solve_factored(cp: jnp.ndarray, im: jnp.ndarray, t0: jnp.ndarray,
+                   rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve with precomputed factors from `factor` (same t0)."""
+    nl = rhs.shape[0]
+    dp = [rhs[0] * im[0]]
+    for l in range(1, nl):
+        dp.append((rhs[l] - t0[l] * dp[-1]) * im[l])
     x = [dp[-1]]
     for l in range(nl - 2, -1, -1):
         x.append(dp[l] - cp[l] * x[-1])

@@ -1,0 +1,405 @@
+"""Geometric multigrid for the elliptic inversions.
+
+TPU-native re-design of the reference's multigrid family:
+
+* layered Helmholtz  L(a) = lap(a) + Gamma(a) + lam*a = b  per column with
+  Neumann vertical BCs — the msqg PV inversion
+  (/root/reference/msqg/poisson_layer.h; tridiagonal coupling in the vertical).
+* scalar Poisson/Helmholtz (nl = 1 special case; the modal-inversion and
+  barotropic paths, Basilisk poisson.h semantics).
+* the mspg barotropic vorticity solver with a first-order beta-like term and
+  pseudo-SOR relaxation for weakly-diagonally-dominant systems
+  (/root/reference/mspg/pg.h:207-349, elliptic.h).
+
+Cycle structure mirrors Basilisk `mg_cycle`/`mg_solve`
+(/root/reference/mspg/elliptic.h:43-220): compute the fine residual, restrict
+it to every level (4-cell average), then sweep coarsest-to-finest — zero the
+correction on the coarsest level, relax, bilinearly prolong to the next level,
+relax, ... — add the correction, recompute the residual, and iterate cycles
+with adaptive relaxation count (target 1.2-10x residual reduction per cycle)
+until the max-norm residual is below tolerance or NITERMAX=100.
+
+Key departures from the reference (deliberate, TPU-first):
+
+* The smoother is red-black *line* relaxation: each color solves its
+  per-column vertical tridiagonal exactly with all horizontal neighbours (the
+  other color, for a 5-point stencil) frozen. This is order-independent and
+  deterministic — the property the reference documents wanting from Jacobi
+  (/root/reference/msqg/poisson_layer.h:55-65) — while converging like
+  Gauss-Seidel. The Thomas factors per level are precomputed once per solve.
+* Everything is static-shape jnp; the outer iteration is a lax.while_loop, so
+  the whole solve stays on device inside jit.
+* Coefficient fields (stretching s, lam, face alpha) are restricted to all
+  levels once at setup, not per solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msom_tpu.ops.bc import BC, pad
+from msom_tpu.ops.stencil import laplacian, shift
+from msom_tpu.ops.stretch import stretch
+from msom_tpu.ops import tridiag
+
+NITERMAX = 100
+
+
+class MGStats(NamedTuple):
+    iters: jnp.ndarray     # cycles performed
+    resb: jnp.ndarray      # residual max-norm before
+    resa: jnp.ndarray      # residual max-norm after
+    nrelax: jnp.ndarray    # final relaxation count
+
+
+def restrict_cell(a: jnp.ndarray) -> jnp.ndarray:
+    """4-child average (Basilisk `restriction`), last two axes halved."""
+    return 0.25 * (a[..., ::2, ::2] + a[..., 1::2, ::2]
+                   + a[..., ::2, 1::2] + a[..., 1::2, 1::2])
+
+
+def prolong_bilinear(c: jnp.ndarray, bc: BC) -> jnp.ndarray:
+    """Basilisk `bilinear` prolongation: child = (9*parent + 3*nx + 3*ny +
+    nxy)/16 with neighbours toward the child quadrant; coarse ghosts filled
+    with the level BC (boundary_level)."""
+    P = pad(c, bc)
+    cc = P[..., 1:-1, 1:-1]
+    w, e = P[..., 1:-1, :-2], P[..., 1:-1, 2:]
+    s_, n_ = P[..., :-2, 1:-1], P[..., 2:, 1:-1]
+    sw, se = P[..., :-2, :-2], P[..., :-2, 2:]
+    nw, ne = P[..., 2:, :-2], P[..., 2:, 2:]
+    f00 = 9 * cc + 3 * w + 3 * s_ + sw
+    f01 = 9 * cc + 3 * e + 3 * s_ + se
+    f10 = 9 * cc + 3 * w + 3 * n_ + nw
+    f11 = 9 * cc + 3 * e + 3 * n_ + ne
+    ny, nx = cc.shape[-2], cc.shape[-1]
+    out = jnp.stack([jnp.stack([f00, f01], -1), jnp.stack([f10, f11], -1)], -3)
+    return (out / 16.0).reshape(*c.shape[:-2], 2 * ny, 2 * nx)
+
+
+def _checkerboard(ny: int, nx: int) -> np.ndarray:
+    j = np.arange(ny)[:, None]
+    i = np.arange(nx)[None, :]
+    return ((j + i) % 2) == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    """Per-level precomputed data for the layered solver (pytree leaves are
+    arrays; registered manually below so it can live inside jit)."""
+    delta: float
+    s: jnp.ndarray | None      # (nl-1, n, n) stretching at this level
+    lam: jnp.ndarray | None    # (nl, n, n) Helmholtz term, or None
+    t0: jnp.ndarray            # (nl, n, n) lower diag (0 for nl==1)
+    cp: jnp.ndarray            # Thomas factors
+    im: jnp.ndarray
+    red: jnp.ndarray           # bool (n, n) checkerboard
+
+
+jax.tree_util.register_dataclass(
+    _Level, data_fields=["s", "lam", "t0", "cp", "im", "red"],
+    meta_fields=["delta"])
+
+
+def build_layered_coeffs(*, nl: int, N: int, L0: float,
+                         s: jnp.ndarray | None = None,
+                         idh0=None, idh1=None,
+                         lam: jnp.ndarray | None = None,
+                         dtype=jnp.float32, minlevel: int = 1):
+    """Precompute per-level coefficients + Thomas factors for solve_layered.
+
+    Restriction of the coefficient fields (stretching s, Helmholtz lam) to
+    every level mirrors /root/reference/msqg/poisson_layer.h:281-284; doing it
+    once at model setup (the coefficients are time-independent) removes it
+    from the hot solve entirely.
+    """
+    depth = int(round(np.log2(N)))
+    idh0 = np.zeros(nl) if idh0 is None else idh0
+    idh1 = np.zeros(nl) if idh1 is None else idh1
+    return _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel)
+
+
+def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
+    """Internal: list of _Level from finest (index -1) to coarsest."""
+    idh0 = np.asarray(idh0, np.float64)
+    idh1 = np.asarray(idh1, np.float64)
+    levels = []
+    s_l, lam_l = s, lam
+    for lev in range(depth, minlevel - 1, -1):
+        n = 2 ** lev
+        delta = L0 / n
+        d2 = delta * delta
+        if nl > 1:
+            sarr = s_l  # (nl-1, n, n)
+            t0 = jnp.concatenate(
+                [jnp.zeros((1, n, n), dtype),
+                 -d2 * sarr * jnp.asarray(idh0[1:], dtype).reshape(-1, 1, 1)], 0)
+            t2 = jnp.concatenate(
+                [-d2 * sarr * jnp.asarray(idh1[:-1], dtype).reshape(-1, 1, 1),
+                 jnp.zeros((1, n, n), dtype)], 0)
+        else:
+            t0 = jnp.zeros((1, n, n), dtype)
+            t2 = jnp.zeros((1, n, n), dtype)
+        t1 = 4.0 - t0 - t2
+        if lam_l is not None:
+            t1 = t1 - d2 * lam_l
+        cp, im = tridiag.factor(t0, t1, t2)
+        levels.append(_Level(delta=delta, s=s_l, lam=lam_l, t0=t0, cp=cp,
+                             im=im, red=jnp.asarray(_checkerboard(n, n))))
+        if s_l is not None:
+            s_l = restrict_cell(s_l)
+        if lam_l is not None:
+            lam_l = restrict_cell(lam_l)
+    return levels  # levels[0] = finest
+
+
+def _residual_layered(a, b, lvl: _Level, bc: BC, idh0, idh1):
+    """res = b - L(a), max-norm. /root/reference/msqg/poisson_layer.h:157-258."""
+    ap = pad(a, bc)
+    res = b - laplacian(ap, lvl.delta)
+    if lvl.s is not None:
+        res = res - stretch(a, lvl.s, idh0, idh1)
+    if lvl.lam is not None:
+        res = res - lvl.lam * a
+    return res, jnp.max(jnp.abs(res))
+
+
+def _relax_layered(da, res, lvl: _Level, nrelax, bc: BC):
+    """nrelax sweeps of red-black vertical-line relaxation."""
+    d2 = lvl.delta * lvl.delta
+
+    def one_color(da, mask):
+        P = pad(da, bc)
+        nbsum = (shift(P, 0, 1) + shift(P, 0, -1)
+                 + shift(P, 1, 0) + shift(P, -1, 0))
+        rhs = -d2 * res + nbsum
+        x = tridiag.solve_factored(lvl.cp, lvl.im, lvl.t0, rhs)
+        return jnp.where(mask, x, da)
+
+    def body(_, da):
+        da = one_color(da, lvl.red)
+        da = one_color(da, ~lvl.red)
+        return da
+
+    return jax.lax.fori_loop(0, nrelax, body, da)
+
+
+def solve_layered(a0: jnp.ndarray, b: jnp.ndarray, *, L0: float,
+                  s: jnp.ndarray | None = None,
+                  idh0=None, idh1=None,
+                  lam: jnp.ndarray | None = None,
+                  bc: BC = BC.DIRICHLET,
+                  tolerance: float = 1e-3,
+                  nrelax0: int = 4,
+                  minlevel: int = 1,
+                  nitermax: int = NITERMAX,
+                  levels: Sequence[_Level] | None = None):
+    """Solve lap(a) + Gamma(a) + lam*a = b, warm-started from a0.
+
+    a0, b: (nl, N, N). Returns (a, MGStats). Matches the semantics of
+    poisson_layer (/root/reference/msqg/poisson_layer.h:263-306) wrapped
+    around mg_solve (/root/reference/mspg/elliptic.h:125-220): max-norm
+    tolerance, at least one cycle, adaptive nrelax in [2, 100].
+    """
+    nl, N, _ = a0.shape
+    depth = int(round(np.log2(N)))
+    if levels is None:
+        levels = _make_levels(nl, depth, L0, s, idh0, idh1, lam, a0.dtype,
+                              minlevel)
+    nlev = len(levels)  # levels[0] finest ... levels[-1] coarsest
+
+    idh0 = np.zeros(nl) if idh0 is None else idh0
+    idh1 = np.zeros(nl) if idh1 is None else idh1
+
+    def cycle(a, res, nrelax):
+        # restrict residual down the hierarchy
+        res_pyramid = [res]
+        for _ in range(nlev - 1):
+            res_pyramid.append(restrict_cell(res_pyramid[-1]))
+        # coarsest-to-finest correction sweep
+        da = jnp.zeros_like(res_pyramid[-1])
+        for k in range(nlev - 1, -1, -1):
+            if k < nlev - 1:
+                da = prolong_bilinear(da, bc)
+            da = _relax_layered(da, res_pyramid[k], levels[k], nrelax, bc)
+        return a + da
+
+    res0, maxres0 = _residual_layered(a0, b, levels[0], bc, idh0, idh1)
+
+    def cond(state):
+        a, res, resa, resb, nrelax, i = state
+        return (i < nitermax) & ((i < 1) | (resa > tolerance))
+
+    def body(state):
+        a, res, resa, resb, nrelax, i = state
+        a = cycle(a, res, nrelax)
+        res, resa_new = _residual_layered(a, b, levels[0], bc, idh0, idh1)
+        ratio = resa / jnp.maximum(resa_new, 1e-300)
+        nrelax = jnp.where((resa_new > tolerance) & (ratio < 1.2) & (nrelax < 100),
+                           nrelax + 1, nrelax)
+        nrelax = jnp.where((resa_new > tolerance) & (ratio > 10.0) & (nrelax > 2),
+                           nrelax - 1, nrelax)
+        return (a, res, resa_new, resa, nrelax, i + 1)
+
+    state = (a0, res0, maxres0, maxres0, jnp.asarray(nrelax0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+    a, res, resa, resb, nrelax, iters = jax.lax.while_loop(cond, body, state)
+    return a, MGStats(iters=iters, resb=maxres0, resa=resa, nrelax=nrelax)
+
+
+def solve_poisson(a0: jnp.ndarray, b: jnp.ndarray, *, L0: float,
+                  lam: jnp.ndarray | None = None, bc: BC = BC.DIRICHLET,
+                  tolerance: float = 1e-3, **kw):
+    """Scalar Helmholtz lap(a) + lam*a = b on (N, N) arrays (Basilisk
+    poisson() semantics, used by the modal inversion
+    /root/reference/msqg/qg.h:136-141 and the barotropic comp_q paths)."""
+    a, st = solve_layered(a0[None], b[None], L0=L0,
+                          lam=None if lam is None else lam[None],
+                          bc=bc, tolerance=tolerance, **kw)
+    return a[0], st
+
+
+# ---------------------------------------------------------------------------
+# mspg barotropic vorticity solver (pseudo-SOR, first-order beta term)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class _BtLevel:
+    delta: float
+    ax: jnp.ndarray   # (ny, nx+1) face alpha x
+    ay: jnp.ndarray   # (ny+1, nx) face alpha y
+    bx: jnp.ndarray   # (ny, nx) cell beta.x
+    by: jnp.ndarray   # (ny, nx) cell beta.y
+    red: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    _BtLevel, data_fields=["ax", "ay", "bx", "by", "red"],
+    meta_fields=["delta"])
+
+
+def restrict_face_x(ax: jnp.ndarray) -> jnp.ndarray:
+    """Coarse x-face = mean of the two fine x-faces it contains."""
+    return 0.5 * (ax[..., ::2, ::2] + ax[..., 1::2, ::2])
+
+
+def restrict_face_y(ay: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (ay[..., ::2, ::2] + ay[..., ::2, 1::2])
+
+
+def _bt_levels(depth, L0, ax, ay, bx, by, minlevel=1):
+    levels = []
+    for lev in range(depth, minlevel - 1, -1):
+        n = 2 ** lev
+        levels.append(_BtLevel(delta=L0 / n, ax=ax, ay=ay, bx=bx, by=by,
+                               red=jnp.asarray(_checkerboard(n, n))))
+        ax, ay = restrict_face_x(ax), restrict_face_y(ay)
+        bx, by = restrict_cell(bx), restrict_cell(by)
+    return levels
+
+
+def _bt_apply(a, lvl: _BtLevel, bc: BC):
+    """res contribution: -L(a) pieces of residual_bt
+    (/root/reference/mspg/pg.h:218-257, non-TREE branch).
+    Returns the quantity added to b in the residual."""
+    P = pad(a, bc)
+    aC = shift(P, 0, 0)
+    aE, aW = shift(P, 0, 1), shift(P, 0, -1)
+    aN, aS = shift(P, 1, 0), shift(P, -1, 0)
+    d = lvl.delta
+    axl, axr = lvl.ax[..., :, :-1], lvl.ax[..., :, 1:]
+    ayb, ayt = lvl.ay[..., :-1, :], lvl.ay[..., 1:, :]
+    out = ((axr + axl) * aC - axr * aE - axl * aW) / (d * d)
+    out += ((ayt + ayb) * aC - ayt * aN - ayb * aS) / (d * d)
+    # f.x = -1: res += -beta.y*0.5*(aE-aW)/d ; f.y = +1: res += beta.x*0.5*(aN-aS)/d
+    out += -lvl.by * 0.5 * (aE - aW) / d
+    out += lvl.bx * 0.5 * (aN - aS) / d
+    return out
+
+
+def _bt_relax(da, res, lvl: _BtLevel, nrelax, omega, bc: BC):
+    """Pseudo-SOR red-black point relaxation
+    (/root/reference/mspg/pg.h:260-318): c = (1-omega)*c + omega*n/d."""
+    d = lvl.delta
+    axl, axr = lvl.ax[..., :, :-1], lvl.ax[..., :, 1:]
+    ayb, ayt = lvl.ay[..., :-1, :], lvl.ay[..., 1:, :]
+    den = axr + axl + ayt + ayb
+
+    def one_color(da, mask):
+        P = pad(da, bc)
+        aE, aW = shift(P, 0, 1), shift(P, 0, -1)
+        aN, aS = shift(P, 1, 0), shift(P, -1, 0)
+        n = -d * d * res + axr * aE + axl * aW + ayt * aN + ayb * aS
+        n -= -lvl.by * 0.5 * (aE - aW) * d   # f.x = -1 term, sign per relax_bt
+        n -= lvl.bx * 0.5 * (aN - aS) * d    # f.y = +1 term
+        new = (1.0 - omega) * shift(P, 0, 0) + omega * n / den
+        return jnp.where(mask, new, da)
+
+    def body(_, da):
+        da = one_color(da, lvl.red)
+        da = one_color(da, ~lvl.red)
+        return da
+
+    return jax.lax.fori_loop(0, nrelax, body, da)
+
+
+def solve_bt(a0: jnp.ndarray, b: jnp.ndarray, *, L0: float,
+             alpha_x: jnp.ndarray, alpha_y: jnp.ndarray,
+             beta_x: jnp.ndarray, beta_y: jnp.ndarray,
+             omega: float = 0.3, bc: BC = BC.DIRICHLET,
+             tolerance: float = 1e-3, nrelax0: int = 4, minlevel: int = 1,
+             nitermax: int = NITERMAX, post_cycle=None):
+    """mspg barotropic streamfunction solver (btsolver,
+    /root/reference/mspg/pg.h:320-349): div(alpha grad a) + beta-terms = b
+    with pseudo-SOR relaxation. `post_cycle(a)` is the hook the reference's
+    elliptic.h fork uses for the circulation BC (called after each cycle's
+    correction, /root/reference/mspg/elliptic.h:97)."""
+    N = a0.shape[-1]
+    depth = int(round(np.log2(N)))
+    levels = _bt_levels(depth, L0, alpha_x, alpha_y, beta_x, beta_y, minlevel)
+    nlev = len(levels)
+
+    def residual(a):
+        res = b + _bt_apply(a, levels[0], bc)
+        return res, jnp.max(jnp.abs(res))
+
+    def cycle(a, res, nrelax):
+        pyr = [res]
+        for _ in range(nlev - 1):
+            pyr.append(restrict_cell(pyr[-1]))
+        da = jnp.zeros_like(pyr[-1])
+        for k in range(nlev - 1, -1, -1):
+            if k < nlev - 1:
+                da = prolong_bilinear(da, bc)
+            da = _bt_relax(da, pyr[k], levels[k], nrelax, omega, bc)
+        a = a + da
+        if post_cycle is not None:
+            a = post_cycle(a)
+        return a
+
+    res0, maxres0 = residual(a0)
+
+    def cond(state):
+        a, res, resa, nrelax, i = state
+        return (i < nitermax) & ((i < 1) | (resa > tolerance))
+
+    def body(state):
+        a, res, resa, nrelax, i = state
+        a = cycle(a, res, nrelax)
+        res, resa_new = residual(a)
+        ratio = resa / jnp.maximum(resa_new, 1e-300)
+        nrelax = jnp.where((resa_new > tolerance) & (ratio < 1.2) & (nrelax < 100),
+                           nrelax + 1, nrelax)
+        nrelax = jnp.where((resa_new > tolerance) & (ratio > 10.0) & (nrelax > 2),
+                           nrelax - 1, nrelax)
+        return (a, res, resa_new, nrelax, i + 1)
+
+    state = (a0, res0, maxres0, jnp.asarray(nrelax0, jnp.int32),
+             jnp.asarray(0, jnp.int32))
+    a, res, resa, nrelax, iters = jax.lax.while_loop(cond, body, state)
+    return a, MGStats(iters=iters, resb=maxres0, resa=resa, nrelax=nrelax)
