@@ -1,0 +1,428 @@
+"""Multi-layer multiple-scale quasi-geostrophic model (msqg).
+
+TPU-native re-implementation of the reference dynamical core
+/root/reference/msqg/qg.h: nondimensional multi-layer QG with PV inversion,
+Arakawa advection with large-scale (PG) coupling, harmonic + biharmonic
+dissipation, Ekman friction, double-gyre wind forcing, bottom topography,
+passive tracers and stochastic forcing, stepped with Basilisk's 2nd-order
+predictor-corrector and CFL-controlled adaptive dt.
+
+State is a pytree of (nl, N, N) arrays; every reference foreach/layer loop is
+a vectorized array op (layer coupling via shifted slices), the per-cell
+tridiagonal inversion is the red-black line multigrid in msom_tpu.solvers.mg,
+and the whole step (including the elliptic while_loop) jits into a single XLA
+computation suitable for lax.scan time loops and GSPMD sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msom_tpu.ops.bc import BC, pad, pad_zeta_slip
+from msom_tpu.ops.stencil import (arakawa_mjac, beta_effect, face_velocities,
+                                  laplacian)
+from msom_tpu.ops.stretch import layer_metrics, stretch
+from msom_tpu.params import QGConfig
+from msom_tpu.solvers import mg
+
+
+@dataclasses.dataclass(frozen=True)
+class QGConstants:
+    """Time-independent fields derived at setup (set_const,
+    /root/reference/msqg/qg.h:931-1116)."""
+    pp_pad: jnp.ndarray        # (nl, N+2, N+2) large-scale psi, ghosts filled
+    zetap_pad: jnp.ndarray     # (nl, N+2, N+2) large-scale rel. vorticity
+    strl: jnp.ndarray | None   # (nl-1, N, N) stretching (Fr/Ro)^2
+    Ro: jnp.ndarray            # (N, N) Rossby number field
+    topo_pad: jnp.ndarray | None   # (N+2, N+2)
+    qforc: jnp.ndarray | None  # (nl, N, N) 3-D forcing
+    wind: jnp.ndarray          # (N, N) surface forcing term for layer 0
+    s_stoch: jnp.ndarray | None    # (nl, N, N) stochastic noise sigma
+    ptr_relax: jnp.ndarray | None  # (nl, nptr, N, N)
+    levels: Any                # multigrid levels pytree
+    idh0: tuple                # hashable: pytree metadata
+    idh1: tuple
+
+
+jax.tree_util.register_dataclass(
+    QGConstants,
+    data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
+                 "wind", "s_stoch", "ptr_relax", "levels"],
+    meta_fields=["idh0", "idh1"])
+
+
+@dataclasses.dataclass
+class QGState:
+    q: jnp.ndarray             # (nl, N, N) potential vorticity
+    psi: jnp.ndarray           # (nl, N, N) streamfunction (warm start / diag)
+    t: jnp.ndarray             # scalar model time
+    dt_prev: jnp.ndarray       # CFL controller smoothing state (timestep.h)
+    i: jnp.ndarray             # step counter
+    key: jnp.ndarray           # PRNG key (stochastic forcing)
+    tracers: jnp.ndarray | None = None   # (nl, nptr, N, N)
+    qof: jnp.ndarray | None = None       # (nl, N, N) filter-mean accumulator
+    nbar: jnp.ndarray | None = None      # filter-mean counter
+
+
+jax.tree_util.register_dataclass(
+    QGState,
+    data_fields=["q", "psi", "t", "dt_prev", "i", "key", "tracers", "qof",
+                 "nbar"],
+    meta_fields=[])
+
+
+class StepDiag(NamedTuple):
+    dt: jnp.ndarray
+    ke: jnp.ndarray            # surface-layer kinetic energy (writestdout)
+    mg_iters: jnp.ndarray
+    mg_res: jnp.ndarray
+
+
+def _dtype(cfg: QGConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _bc_psi(cfg: QGConfig) -> BC:
+    return BC.PERIODIC if cfg.sbc == -1 else BC.DIRICHLET
+
+
+def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
+                    topo=None, qforc=None, dh=None, s_stoch=None,
+                    ptr_relax=None) -> QGConstants:
+    """Derive the static model fields. Optional arrays override the defaults
+    exactly as the reference's input files do (psipg_*.bas etc.,
+    /root/reference/msqg/qg.h:950-985)."""
+    dt = _dtype(cfg)
+    nl, N = cfg.nl, cfg.N
+    dh = np.asarray(dh if dh is not None else cfg.dh[:nl], np.float64)
+    _, idh0, idh1 = layer_metrics(dh)
+
+    x = (np.arange(N, dtype=np.float64) + 0.5) * cfg.delta
+    X, Y = np.meshgrid(x, x, indexing="xy")
+
+    # large-scale streamfunction: pp = vpg*x - upg*y (msqg/qg.h:904-909)
+    upg = np.zeros(nl)
+    vpg = np.zeros(nl)
+    upg[:len(cfg.upg)] = cfg.upg[:nl]
+    vpg[:len(cfg.vpg)] = cfg.vpg[:nl]
+    if psipg is not None:
+        pp = np.asarray(psipg, np.float64)
+    else:
+        pp = vpg[:, None, None] * X - upg[:, None, None] * Y
+
+    if cfg.sbc == -1:
+        # periodic run: pp ghosts follow dirichlet(vpg*x - upg*y) applied to
+        # the non-periodic large-scale field (msqg/qg.h:1105-1114):
+        # ghost = 2*value(face) - interior.
+        def fbc(xg, yg):
+            return vpg[:, None, None] * xg - upg[:, None, None] * yg
+        pp_pad = np.zeros((nl, N + 2, N + 2))
+        pp_pad[:, 1:-1, 1:-1] = pp
+        xl, xr = 0.0, cfg.L0
+        pp_pad[:, 1:-1, 0] = 2 * (vpg[:, None] * xl - upg[:, None] * x) - pp[:, :, 0]
+        pp_pad[:, 1:-1, -1] = 2 * (vpg[:, None] * xr - upg[:, None] * x) - pp[:, :, -1]
+        xpad = np.concatenate([[x[0] - cfg.delta], x, [x[-1] + cfg.delta]])
+        pp_pad[:, 0, :] = 2 * (vpg[:, None] * xpad - upg[:, None] * 0.0) - pp_pad[:, 1, :]
+        pp_pad[:, -1, :] = 2 * (vpg[:, None] * xpad - upg[:, None] * cfg.L0) - pp_pad[:, -2, :]
+        pp_pad = jnp.asarray(pp_pad, dt)
+    else:
+        pp_pad = pad(jnp.asarray(pp, dt), BC.DIRICHLET)
+
+    # variable Rossby number (msqg/qg.h:1032-1037)
+    if cfg.varRo > 0:
+        Ro = cfg.Rom / (1.0 + cfg.Rom * cfg.beta * (Y - 0.5 * cfg.L0))
+    else:
+        Ro = np.full((N, N), cfg.Rom)
+
+    # stretching strl = (Fr/Ro)^2 at the nl-1 interfaces (msqg/qg.h:1043-1048)
+    strl = None
+    if nl > 1:
+        if frpg is not None:
+            Fr = np.asarray(frpg, np.float64)[:nl - 1]
+        else:
+            Fr = np.asarray(cfg.Fr[:nl - 1], np.float64)[:, None, None] \
+                * np.ones((nl - 1, N, N))
+        strl = jnp.asarray((Fr / Ro) ** 2, dt)
+
+    # large-scale relative vorticity (only if flsrv, msqg/qg.h:1094-1096)
+    if cfg.flsrv == 1:
+        zetap = laplacian(pp_pad, cfg.delta)
+    else:
+        zetap = jnp.zeros((nl, N, N), dt)
+    zetap_pad = pad(zetap, _bc_psi(cfg))
+
+    # surface forcing field (msqg/qg.h:446-459): dq0 -= wind
+    wind = jnp.asarray(
+        cfg.tau0 / (cfg.Rom * dh[0]) * np.sin(2 * np.pi * Y / cfg.L0)
+        * np.sin(np.pi * Y / cfg.L0), dt)
+
+    topo_pad = None
+    if topo is not None:
+        topo_pad = pad(jnp.asarray(topo, dt), BC.NEUMANN)
+
+    levels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=strl,
+                                     idh0=idh0, idh1=idh1, dtype=dt)
+
+    return QGConstants(
+        pp_pad=pp_pad, zetap_pad=zetap_pad, strl=strl,
+        Ro=jnp.asarray(Ro, dt), topo_pad=topo_pad,
+        qforc=None if qforc is None else jnp.asarray(qforc, dt),
+        wind=wind,
+        s_stoch=None if s_stoch is None else jnp.asarray(s_stoch, dt),
+        ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
+        levels=levels, idh0=tuple(float(v) for v in idh0),
+        idh1=tuple(float(v) for v in idh1))
+
+
+def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:
+    """q = lap(psi) + Gamma(psi) (comp_q, /root/reference/msqg/qg.h:396-403)."""
+    q = laplacian(pad(psi, _bc_psi(cfg)), cfg.delta)
+    if cfg.nl > 1:
+        q = q + stretch(psi, const.strl, const.idh0, const.idh1)
+    return q
+
+
+def invert_q(cfg: QGConfig, const: QGConstants, psi_guess, q):
+    """PV inversion psi = L^-1 q, warm-started (invertq,
+    /root/reference/msqg/qg.h:113-163; tolerance 1e-3 at :159)."""
+    return mg.solve_layered(psi_guess, q, L0=cfg.L0, s=const.strl,
+                            idh0=const.idh0, idh1=const.idh1,
+                            bc=_bc_psi(cfg), tolerance=cfg.tol,
+                            levels=const.levels)
+
+
+def init_state(cfg: QGConfig, const: QGConstants, *, psi0=None, seed=0,
+               tracers0=None) -> QGState:
+    """Initial conditions: psi from p0 array or 1e-3 noise, zero-mean for the
+    periodic case, then q = comp_q(psi) (/root/reference/msqg/qg.c:53-92 and
+    qg.h:1092)."""
+    dt = _dtype(cfg)
+    key = jax.random.PRNGKey(seed)
+    if psi0 is None:
+        key, sub = jax.random.split(key)
+        # reference noise() is uniform in [-1, 1]
+        psi = 1e-3 * jax.random.uniform(sub, (cfg.nl, cfg.N, cfg.N), dt,
+                                        minval=-1.0, maxval=1.0)
+    else:
+        psi = jnp.asarray(psi0, dt)
+    psi = psi - jnp.mean(psi, axis=(-2, -1), keepdims=True)
+    q = comp_q(cfg, const, psi)
+    tracers = None
+    qof = None
+    nbar = None
+    if cfg.nptr > 0:
+        if tracers0 is None:
+            key, sub = jax.random.split(key)
+            tracers = 1e-3 * jax.random.uniform(
+                sub, (cfg.nl, cfg.nptr, cfg.N, cfg.N), dt, minval=-1., maxval=1.)
+        else:
+            tracers = jnp.asarray(tracers0, dt)
+    if cfg.dtflt > 0:
+        qof = jnp.zeros_like(q)
+        nbar = jnp.asarray(0, jnp.int32)
+    return QGState(q=q, psi=psi, t=jnp.asarray(0.0, dt),
+                   dt_prev=jnp.asarray(0.0, dt), i=jnp.asarray(0, jnp.int32),
+                   key=key, tracers=tracers, qof=qof, nbar=nbar)
+
+
+# ---------------------------------------------------------------------------
+# RHS assembly
+# ---------------------------------------------------------------------------
+
+def _pad_deriv(cfg, field, parent_pad):
+    """Ghost pad for a Laplacian-derived field: periodic, or Dirichlet with
+    the partial-slip overwrite relative to its parent (comp_del2 sbc branch,
+    /root/reference/msqg/qg.h:183-198)."""
+    if cfg.sbc == -1:
+        return pad(field, BC.PERIODIC)
+    return pad_zeta_slip(field, parent_pad, cfg.sbc, cfg.delta)
+
+
+def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
+        tracers):
+    """Full tendency assembly (update_qg, /root/reference/msqg/qg.h:609-650).
+
+    Returns (dq, dtracers). The advected vorticity is zeta (advection_pv is
+    called with zetal in the qol slot, qg.h:623), with the stretching-Jacobian
+    cascade supplying the remaining part of J(psi, q)."""
+    d = cfg.delta
+    nl = cfg.nl
+    mj = arakawa_mjac
+    pp = const.pp_pad
+    dq = jnp.zeros_like(q)
+
+    if nl > 1:
+        # advection_pv (/root/reference/msqg/qg.h:287-393); the stochastic
+        # variant (/root/reference/msqg/qg_stochastic.h:17-111) drops the
+        # self-advection in the top layer, drops J(po,po2) from the cascade,
+        # and adds linear damping -q/tr_stoch.
+        self_jac = mj(psi_pad, zeta_pad, d)
+        if cfg.stochastic:
+            self_jac = self_jac.at[0].set(0.0)
+        dq = dq + self_jac + mj(pp, zeta_pad, d) \
+            + beta_effect(psi_pad, cfg.beta, d)
+        # interface stretch-Jacobians jd/ju cascade
+        J = mj(pp[:-1], psi_pad[1:], d) + mj(psi_pad[:-1], pp[1:], d)
+        if not cfg.stochastic:
+            J = J + mj(psi_pad[:-1], psi_pad[1:], d)
+        idh0 = jnp.asarray(const.idh0, q.dtype).reshape(nl, 1, 1)
+        idh1 = jnp.asarray(const.idh1, q.dtype).reshape(nl, 1, 1)
+        dq = dq.at[:-1].add(const.strl * J * idh1[:-1])
+        dq = dq.at[1:].add(-const.strl * J * idh0[1:])
+        if cfg.flsrv == 1:
+            dq = dq + mj(psi_pad, const.zetap_pad, d)
+        if cfg.stochastic:
+            dq = dq - q * cfg.itr_stoch
+    # nl == 1: advection contributes nothing (msqg/qg.h:376-379)
+
+    # dissipation (dissip, /root/reference/msqg/qg.h:406-422)
+    if cfg.nl > 1:
+        dq = dq + cfg.iRe * stretch(zeta, const.strl, const.idh0, const.idh1)
+    tmp = laplacian(zeta_pad, d)
+    dq = dq + cfg.iRe * tmp
+    if cfg.iRe4 != 0.0:
+        tmp_pad = _pad_deriv(cfg, tmp, zeta_pad)
+        bih = laplacian(tmp_pad, d)
+        if cfg.nl > 1:
+            bih = bih + stretch(tmp, const.strl, const.idh0, const.idh1)
+        dq = dq + cfg.iRe4 * bih
+
+    # Ekman friction (/root/reference/msqg/qg.h:428-440)
+    dh = cfg.dh
+    dq = dq.at[0].add(-cfg.Eks / (cfg.Rom * 2 * dh[0]) * zeta[0])
+    dq = dq.at[nl - 1].add(-cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1]) * zeta[nl - 1])
+
+    # surface wind forcing (/root/reference/msqg/qg.h:446-459)
+    dq = dq.at[0].add(-const.wind)
+
+    # 3-D forcing (/root/reference/msqg/qg.h:465-474)
+    if const.qforc is not None:
+        dq = dq + const.qforc
+
+    # bottom topography (/root/reference/msqg/qg.h:480-488)
+    if const.topo_pad is not None:
+        dq = dq.at[nl - 1].add(mj(psi_pad[nl - 1], const.topo_pad, d)
+                               / (const.Ro * dh[nl - 1]))
+
+    # passive tracers (ptr_rhs, /root/reference/msqg/qg.h:573-588)
+    dtr = None
+    if tracers is not None:
+        bc_tr = BC.PERIODIC if cfg.sbc == -1 else BC.NEUMANN
+        tr_pad = pad(tracers, bc_tr)
+        iPe = jnp.asarray(cfg.iPe[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
+        ir = jnp.asarray(cfg.ptr_ir[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
+        dtr = mj(psi_pad[:, None], tr_pad, d) + iPe * laplacian(tr_pad, d)
+        if const.ptr_relax is not None:
+            dtr = dtr + ir * (const.ptr_relax - tracers)
+        else:
+            dtr = dtr + ir * (-tracers)
+    return dq, dtr
+
+
+def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_pad, dtmax0, prev):
+    """CFL controller chain: timestep() called per layer for psi then pp, all
+    sharing the `previous` smoothing state (advection_pv,
+    /root/reference/msqg/qg.h:383-391; Basilisk timestep.h semantics, cf.
+    adjust_dt /root/reference/qg-node/qg.h:258-284)."""
+    d = cfg.delta
+    dtm = dtmax0
+    big = jnp.asarray(jnp.finfo(psi_pad.dtype).max / 4, psi_pad.dtype)
+    for l in range(cfg.nl):
+        for fpad in (psi_pad[l], const.pp_pad[l]):
+            ufx, ufy = face_velocities(fpad, d)
+            umax = jnp.maximum(jnp.max(jnp.abs(ufx)), jnp.max(jnp.abs(ufy)))
+            dt_cfl = jnp.where(umax > 0, cfg.CFL * d / umax, big)
+            dtm = jnp.minimum(dtm, dt_cfl)
+            dtm = jnp.where(dtm > prev, (prev + 0.1 * dtm) / 1.1, dtm)
+            prev = dtm
+    return dtm, prev
+
+
+def dtnext(t, tnext, dt):
+    """Basilisk event scheduling: shrink dt so an integer number of steps
+    lands exactly on the next event time (events.h dtnext, TEPS=1e-9)."""
+    dd = tnext - t
+    n = jnp.floor(dd / dt)
+    dt1 = dd / jnp.maximum(n, 1)
+    dt1 = jnp.where(dt1 > dt * (1.0 + 1e-9), dd / (n + 1), dt1)
+    return jnp.where(n == 0, dd, jnp.minimum(dt, dt1))
+
+
+def kinetic_energy(cfg: QGConfig, psi: jnp.ndarray) -> jnp.ndarray:
+    """Surface-layer KE as logged every step: ke = -sum 0.5*psi*lap(psi)*Delta^2
+    (/root/reference/msqg/qg.c:101-109)."""
+    p0 = psi[0]
+    lap = laplacian(pad(p0, _bc_psi(cfg)), cfg.delta)
+    return -jnp.sum(0.5 * p0 * lap) * cfg.delta ** 2
+
+
+def update(cfg: QGConfig, const: QGConstants, q, psi_guess, tracers, prev,
+           dtmax0):
+    """One RHS evaluation: PV inversion + tendencies + CFL (update_qg)."""
+    psi, st = invert_q(cfg, const, psi_guess, q)
+    psi_pad = pad(psi, _bc_psi(cfg))
+    zeta = laplacian(psi_pad, cfg.delta)
+    zeta_pad = _pad_deriv(cfg, zeta, psi_pad)
+    dq, dtr = rhs(cfg, const, q, psi, psi_pad, zeta, zeta_pad, tracers)
+    dtm, prev = cfl_dtmax(cfg, const, psi_pad, dtmax0, prev)
+    return dq, dtr, psi, prev, dtm, st
+
+
+def make_step(cfg: QGConfig):
+    """Build the jittable step function.
+
+    step(state, const, tnext) -> (state, StepDiag) implements one Basilisk
+    predictor-corrector step (predictor-corrector.h semantics, SURVEY.md
+    §3.1): dt from the CFL-limited first update + dtnext event clamping, a
+    half-step Euler predictor, a corrector RHS at the midpoint, and the full
+    step. The stochastic variant adds the Euler-Maruyama kick in both
+    advances with shared noise (/root/reference/msqg/qg_stochastic.h:128-149).
+    """
+    DT = cfg.dt_clamped()
+
+    def step(state: QGState, const: QGConstants, tnext):
+        dq, dtr, psi1, prev, dtm, st1 = update(
+            cfg, const, state.q, state.psi, state.tracers, state.dt_prev, DT)
+        dt = dtnext(state.t, tnext, dtm)
+
+        noise = None
+        key = state.key
+        if cfg.stochastic:
+            key, sub = jax.random.split(key)
+            sigma = const.s_stoch if const.s_stoch is not None else 1.0
+            noise = cfg.amp_stoch * sigma * jax.random.normal(
+                sub, state.q.shape, state.q.dtype)
+
+        # predictor: half Euler step
+        q_half = state.q + dq * (dt / 2)
+        if cfg.stochastic:
+            # dts = sqrt(dt/2)/sqrt(2) = sqrt(dt)/2 (qg_stochastic.h:136)
+            q_half = q_half + noise * jnp.sqrt(dt) / 2.0
+        tr_half = None
+        if state.tracers is not None:
+            tr_half = state.tracers + dtr * (dt / 2)
+
+        # corrector RHS at midpoint (its dtmax feeds only the smoothing state)
+        dq2, dtr2, psi2, prev, _, st2 = update(
+            cfg, const, q_half, psi1, tr_half, prev, DT)
+
+        q_new = state.q + dq2 * dt
+        if cfg.stochastic:
+            q_new = q_new + noise * jnp.sqrt(dt)
+        tr_new = None
+        if state.tracers is not None:
+            tr_new = state.tracers + dtr2 * dt
+
+        new = QGState(q=q_new, psi=psi2, t=state.t + dt, dt_prev=prev,
+                      i=state.i + 1, key=key, tracers=tr_new,
+                      qof=state.qof, nbar=state.nbar)
+        diag = StepDiag(dt=dt, ke=kinetic_energy(cfg, psi2),
+                        mg_iters=st1.iters, mg_res=st1.resa)
+        return new, diag
+
+    return step
