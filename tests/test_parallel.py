@@ -1,0 +1,76 @@
+"""Sharding correctness: the globally-viewed model must produce identical
+results on 1 device and on an 8-device mesh (the shard-vs-single equality
+test from SURVEY.md §4)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from msom_tpu import parallel
+from msom_tpu.models import qg as m
+from msom_tpu.params import QGConfig
+
+
+def small_cfg():
+    return QGConfig(N=32, nl=3, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
+                    Re4=1563, beta=0.5, Fr=(0.0023669, 0.0076173),
+                    dh=(0.06, 0.14, 0.8), DT=5e-2, tend=1.0, dtout=1.0,
+                    CFL=0.6, dtype="float64").validate()
+
+
+def test_mesh_shapes():
+    mesh = parallel.make_mesh(8)
+    assert mesh.devices.shape in ((2, 4), (4, 2))
+    mesh1 = parallel.make_mesh(1)
+    assert mesh1.devices.shape == (1, 1)
+
+
+def test_sharded_step_matches_single_device():
+    cfg = small_cfg()
+    const = m.build_constants(cfg)
+    state = m.init_state(cfg, const, seed=0)
+    step = jax.jit(m.make_step(cfg))
+
+    # single device reference
+    s_ref = state
+    for _ in range(3):
+        s_ref, d_ref = step(s_ref, const, jnp.asarray(0.5))
+
+    # 8-device mesh
+    mesh = parallel.make_mesh(8)
+    state_sh = parallel.shard_model(mesh, state, cfg.N)
+    const_sh = parallel.shard_model(mesh, const, cfg.N)
+    s_sh = state_sh
+    with mesh:
+        for _ in range(3):
+            s_sh, d_sh = step(s_sh, const_sh, jnp.asarray(0.5))
+
+    np.testing.assert_allclose(np.asarray(s_sh.q), np.asarray(s_ref.q),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s_sh.psi), np.asarray(s_ref.psi),
+                               rtol=1e-12, atol=1e-13)
+    assert float(s_sh.t) == float(s_ref.t)
+
+
+def test_sharded_solver_matches():
+    from msom_tpu.solvers import mg
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((2, 64, 64)))
+    s = jnp.asarray(np.abs(rng.standard_normal((1, 64, 64))))
+    idh0, idh1 = np.array([0.0, 2.0]), np.array([3.0, 0.0])
+
+    def solve(b, s):
+        a, st = mg.solve_layered(jnp.zeros_like(b), b, L0=1.0, s=s,
+                                 idh0=idh0, idh1=idh1, tolerance=1e-10)
+        return a
+
+    a_ref = jax.jit(solve)(b, s)
+    mesh = parallel.make_mesh(8)
+    bs = jax.device_put(b, parallel.field_sharding(mesh, 3))
+    ss = jax.device_put(s, parallel.field_sharding(mesh, 3))
+    with mesh:
+        a_sh = jax.jit(solve)(bs, ss)
+    np.testing.assert_allclose(np.asarray(a_sh), np.asarray(a_ref),
+                               rtol=1e-11, atol=1e-12)
