@@ -44,6 +44,7 @@ class QGConstants:
     wind: jnp.ndarray          # (N, N) surface forcing term for layer 0
     s_stoch: jnp.ndarray | None    # (nl, N, N) stochastic noise sigma
     ptr_relax: jnp.ndarray | None  # (nl, nptr, N, N)
+    sig_lev: tuple | None      # per-level wavelet filter weights (high-pass)
     levels: Any                # multigrid levels pytree
     idh0: tuple                # hashable: pytree metadata
     idh1: tuple
@@ -52,7 +53,7 @@ class QGConstants:
 jax.tree_util.register_dataclass(
     QGConstants,
     data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
-                 "wind", "s_stoch", "ptr_relax", "levels"],
+                 "wind", "s_stoch", "ptr_relax", "sig_lev", "levels"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -168,6 +169,15 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     levels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=strl,
                                      idh0=idh0, idh1=idh1, dtype=dt)
 
+    # wavelet filter scale sig_filt = min(afilt*Rd, Lfmax) and per-level
+    # high-pass weights (msqg/qg.h:1052-1090); Rd defaults to 1, overridden
+    # by the rdpg input field.
+    from msom_tpu.ops.wavelet import sig_lev_pyramid
+    Rd = np.ones((N, N)) if rdpg is None else np.asarray(rdpg, np.float64)
+    sig_filt = np.minimum(cfg.afilt * Rd, cfg.Lfmax)
+    sig_lev = tuple(jnp.asarray(s_, dt)
+                    for s_ in sig_lev_pyramid(sig_filt, cfg.L0))
+
     return QGConstants(
         pp_pad=pp_pad, zetap_pad=zetap_pad, strl=strl,
         Ro=jnp.asarray(Ro, dt), topo_pad=topo_pad,
@@ -175,7 +185,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         wind=wind,
         s_stoch=None if s_stoch is None else jnp.asarray(s_stoch, dt),
         ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
-        levels=levels, idh0=tuple(float(v) for v in idh0),
+        sig_lev=sig_lev, levels=levels, idh0=tuple(float(v) for v in idh0),
         idh1=tuple(float(v) for v in idh1))
 
 
