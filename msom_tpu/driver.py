@@ -90,6 +90,65 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     return state
 
 
+class OutputWriter:
+    """Reference-compatible output: creates `outdir_%04d/`, backs up the
+    config, and writes po/qo/pf (+ energy de_*) snapshots as `.bas` files
+    with the reference's naming (/root/reference/msqg/qg.c:112-173,
+    create_outdir qg.h:766-780, backup_config qg.h:782-835)."""
+
+    def __init__(self, cfg, const, outdir=None, params_text=None):
+        import os
+
+        self.cfg = cfg
+        self.const = const
+        if outdir is None:
+            for k in range(1, 10000):
+                cand = f"outdir_{k:04d}"
+                try:
+                    os.makedirs(cand)
+                    outdir = cand
+                    break
+                except FileExistsError:
+                    continue
+        else:
+            os.makedirs(outdir, exist_ok=True)
+        self.dir = outdir
+        if params_text is not None:
+            with open(f"{self.dir}/params.in", "w") as f:
+                f.write(params_text)
+        self._backup_config()
+
+    def _backup_config(self):
+        from msom_tpu.io.bas import write_bas
+
+        cfg, const = self.cfg, self.const
+        import numpy as np
+        sig_filt = np.minimum(cfg.afilt * np.ones((cfg.N, cfg.N)), cfg.Lfmax)
+        write_bas(f"{self.dir}/sig_filt.bas", sig_filt, cfg.L0)
+        pp = np.asarray(const.pp_pad)[:, 1:-1, 1:-1]
+        write_bas(f"{self.dir}/psipg_{cfg.nl}l_N{cfg.N}.bas", pp, cfg.L0)
+        np.asarray(cfg.dh[:cfg.nl], np.float32).tofile(
+            f"{self.dir}/dh_{cfg.nl}l.bin")
+
+    def __call__(self, state, t):
+        from msom_tpu.io.bas import write_bas
+        import numpy as np
+
+        i = int(state.i)
+        cfg = self.cfg
+        write_bas(f"{self.dir}/po{i:09d}.bas", np.asarray(state.psi), cfg.L0)
+        write_bas(f"{self.dir}/qo{i:09d}.bas", np.asarray(state.q), cfg.L0)
+        if state.qof is not None and cfg.dtflt > 0:
+            from msom_tpu.models import qg as qgm
+            pf, _ = qgm.invert_q(cfg, self.const,
+                                 jnp.zeros_like(state.qof), state.qof)
+            write_bas(f"{self.dir}/pf{i:09d}.bas", np.asarray(pf), cfg.L0)
+        if state.tracers is not None:
+            tr = np.asarray(state.tracers)
+            write_bas(f"{self.dir}/ptr{i:09d}.bas",
+                      tr.reshape(-1, cfg.N, cfg.N), cfg.L0)
+
+
 def stdout_hooks(stream=sys.stdout) -> RunHooks:
     """KE heartbeat matching /root/reference/msqg/qg.c:101-109."""
     def log(i, dt, t, ke):
