@@ -90,6 +90,45 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     return state
 
 
+def run_pg(cfg, *, const=None, state=None, hooks: RunHooks = None,
+           max_steps: int | None = None):
+    """Integrate the mspg model to cfg.tend (driver loop of
+    /root/reference/mspg/pg.c): running means every 10 steps (comp_output),
+    b_me/u_me state dumps every dtout (writestate)."""
+    from msom_tpu.models import mspg
+
+    hooks = hooks or RunHooks()
+    if const is None:
+        const = mspg.build_constants(cfg)
+    if state is None:
+        state = mspg.init_state(cfg, const)
+
+    step = jax.jit(mspg.make_step(cfg))
+    t = float(state.t)
+    next_out = _next_event(0.0, cfg.dtout)
+    if hooks.on_output is not None:
+        hooks.on_output(state, t)   # writestate fires at t = 0 (pg.c:213)
+
+    while t < cfg.tend - 1e-10:
+        tnext = min(next_out, cfg.tend)
+        state, diag = step(state, const, jnp.asarray(tnext, state.t.dtype))
+        t = float(state.t)
+        i = int(state.i)
+        if i % 10 == 0:
+            state = mspg.accumulate_means(state)
+        if hooks.on_log is not None:
+            hooks.on_log(i, float(diag.dt), t, 0.0)
+        if t >= next_out - 1e-10:
+            if hooks.on_output is not None:
+                hooks.on_output(state, t)
+            state = dataclasses.replace(
+                state, nme=jnp.asarray(0, jnp.int32))  # reset running average
+            next_out = _next_event(t, cfg.dtout)
+        if max_steps is not None and i >= max_steps:
+            break
+    return state
+
+
 class OutputWriter:
     """Reference-compatible output: creates `outdir_%04d/`, backs up the
     config, and writes po/qo/pf (+ energy de_*) snapshots as `.bas` files

@@ -23,6 +23,33 @@ def thomas(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray,
     return solve_factored(cp, im, t0, rhs)
 
 
+def thomas_scan(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray,
+                rhs: jnp.ndarray) -> jnp.ndarray:
+    """Thomas solve along axis 0 via lax.scan — for long systems (e.g. the
+    4N-point perimeter circulation BC, /root/reference/mspg/pg.h:78-163)
+    where unrolling would bloat the program."""
+    import jax
+
+    def fwd(carry, row):
+        cp_prev, dp_prev = carry
+        a, b, c, d = row
+        m = b - a * cp_prev
+        cp = c / m
+        dp = (d - a * dp_prev) / m
+        return (cp, dp), (cp, dp)
+
+    z = jnp.zeros_like(t1[0])
+    _, (cp, dp) = jax.lax.scan(fwd, (z, z), (t0, t1, t2, rhs))
+
+    def bwd(x_next, row):
+        cp_l, dp_l = row
+        x = dp_l - cp_l * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, z, (cp, dp), reverse=True)
+    return xs
+
+
 def factor(t0: jnp.ndarray, t1: jnp.ndarray, t2: jnp.ndarray):
     """Precompute the Thomas elimination factors (cp, inv_m) so repeated
     solves with the same matrix (e.g. every multigrid relaxation sweep on a

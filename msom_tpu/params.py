@@ -138,6 +138,53 @@ class QGConfig:
         return self
 
 
+@dataclasses.dataclass(frozen=True)
+class PGConfig:
+    """mspg configuration (defaults match /root/reference/mspg/pg.h:16-57;
+    parser keys match pg.c:60-76 — note the reference's own deck keys `kd`,
+    `a`, `nu` are NOT read by its parser and are likewise ignored here, with
+    nu keeping its compiled-in default 3e-4)."""
+
+    N: int = 64
+    nl: int = 1
+    L0: float = 1.0
+    ys: float = 0.0          # southern latitude (origin shift, pg.c:97)
+    r: float = 0.1           # linear friction
+    kv: float = 0.0          # vertical diffusivity coefficient
+    kh: float = 0.0          # horizontal diffusivity coefficient
+    nu: float = 3e-4         # momentum viscosity (global, not parsed)
+    tau_s: float = 1e-2      # surface buoyancy relaxation time
+    tau0: float = 0.12       # wind amplitude
+    k_gm: float = 0.0        # Gent-McWilliams coefficient
+    N2min: float = 1e-10
+    cmin: float = 2.0
+    omega: float = 0.3       # pseudo-SOR relaxation factor
+    DT: float = 1e10
+    CFL: float = 0.5
+    tend: float = 1.0
+    dtout: float = 1.0
+    tol: float = 1e-3
+    dtype: str = "float32"
+
+    @property
+    def delta(self) -> float:
+        return self.L0 / self.N
+
+
+_PG_KEYS = {f.name for f in dataclasses.fields(PGConfig)}
+
+
+def load_pg_config(path_or_text: str, **overrides) -> PGConfig:
+    """Read a reference mspg params.in (grammar of
+    /root/reference/mspg/pg.c:60-76)."""
+    kv = _parse_kv(path_or_text)
+    kw = {k: v for k, v in kv.items() if k in _PG_KEYS and k != "nu"}
+    kw.pop("a", None)
+    kw.pop("kd", None)
+    kw.update(overrides)
+    return PGConfig(**kw)
+
+
 _QG_KEYS = {f.name for f in dataclasses.fields(QGConfig)}
 _QG_ALIASES = {"tr_stoch": "tr_stoch", "amp_stoch": "amp_stoch"}
 

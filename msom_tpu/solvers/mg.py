@@ -303,11 +303,14 @@ def _bt_levels(depth, L0, ax, ay, bx, by, minlevel=1):
     return levels
 
 
-def _bt_apply(a, lvl: _BtLevel, bc: BC):
+def _bt_apply(a, lvl: _BtLevel, bc: BC, pad_fn=None):
     """res contribution: -L(a) pieces of residual_bt
     (/root/reference/mspg/pg.h:218-257, non-TREE branch).
-    Returns the quantity added to b in the residual."""
-    P = pad(a, bc)
+    Returns the quantity added to b in the residual. `pad_fn` overrides the
+    ghost fill — the hook for mspg's circulation BC, which the reference
+    applies by rewriting ghosts after each cycle (elliptic.h:97) and which
+    here enters the converged solution through the residual."""
+    P = pad_fn(a) if pad_fn is not None else pad(a, bc)
     aC = shift(P, 0, 0)
     aE, aW = shift(P, 0, 1), shift(P, 0, -1)
     aN, aS = shift(P, 1, 0), shift(P, -1, 0)
@@ -353,7 +356,7 @@ def solve_bt(a0: jnp.ndarray, b: jnp.ndarray, *, L0: float,
              beta_x: jnp.ndarray, beta_y: jnp.ndarray,
              omega: float = 0.3, bc: BC = BC.DIRICHLET,
              tolerance: float = 1e-3, nrelax0: int = 4, minlevel: int = 1,
-             nitermax: int = NITERMAX, post_cycle=None):
+             nitermax: int = NITERMAX, post_cycle=None, pad_fn=None):
     """mspg barotropic streamfunction solver (btsolver,
     /root/reference/mspg/pg.h:320-349): div(alpha grad a) + beta-terms = b
     with pseudo-SOR relaxation. `post_cycle(a)` is the hook the reference's
@@ -365,7 +368,7 @@ def solve_bt(a0: jnp.ndarray, b: jnp.ndarray, *, L0: float,
     nlev = len(levels)
 
     def residual(a):
-        res = b + _bt_apply(a, levels[0], bc)
+        res = b + _bt_apply(a, levels[0], bc, pad_fn)
         return res, jnp.max(jnp.abs(res))
 
     def cycle(a, res, nrelax):
