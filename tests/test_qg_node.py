@@ -1,0 +1,148 @@
+"""qg-node vertex-grid model tests: nodal MG inversion, BC machinery,
+barotropic + baroclinic paths, time-varying forcing, masked filter."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from msom_tpu.models import qg_node as qn
+from msom_tpu.ops import vertex
+from msom_tpu.solvers import vmg
+
+RNG = np.random.default_rng(9)
+
+
+def bt_cfg(**kw):
+    base = dict(N=64, nl=1, L0=100.0, tau0=1e-3, nu=5.0, beta=0.5,
+                dh=(1.0,), bc_fac=0.0, DT=5e-2, tend=200.0, dtout=10.0,
+                CFL=0.2, TOLERANCE=1e-5, dtype="float64")
+    base.update(kw)
+    return qn.NodeQGConfig(**base)
+
+
+def bc_cfg(**kw):
+    base = dict(N=32, nl=3, L0=100.0, tau0=1e-3, nu=5.0, beta=0.5,
+                dh=(0.2, 0.3, 0.5), N2=(1.0, 1.0), bc_fac=0.0, DT=5e-2,
+                tend=10.0, dtout=10.0, CFL=0.2, TOLERANCE=1e-6,
+                noise_init=1e-2, dtype="float64")
+    base.update(kw)
+    return qn.NodeQGConfig(**base)
+
+
+def test_load_reference_deck():
+    cfg = qn.load_node_config("/root/reference/qg-node/params.in",
+                              dtype="float64")
+    assert cfg.N > 0 and cfg.TOLERANCE > 0
+
+
+def test_vertex_transfer_ops():
+    c = jnp.asarray(RNG.standard_normal((5, 5)))
+    f = vertex.vprolong(c)
+    assert f.shape == (9, 9)
+    # injection at co-located nodes, exact midpoint averages
+    np.testing.assert_allclose(np.asarray(f)[::2, ::2], np.asarray(c))
+    np.testing.assert_allclose(
+        np.asarray(f)[0, 1], 0.5 * (np.asarray(c)[0, 0] + np.asarray(c)[0, 1]))
+    # weighted restriction of a constant away from edges is the constant
+    g = vertex.vrestrict_weighted(jnp.ones((9, 9)))
+    np.testing.assert_allclose(np.asarray(g)[1:-1, 1:-1], 1.0)
+
+
+def test_nodal_inversion_roundtrip():
+    cfg = bc_cfg()
+    const = qn.build_constants(cfg)
+    psi = jnp.asarray(RNG.standard_normal((3, 33, 33)))
+    psi = vertex.bc_psi(psi)
+    q = qn.comp_q(cfg, const, psi)
+    psi2, st = qn.invert_q(cfg, const, jnp.zeros_like(psi), q)
+    q2 = qn.comp_q(cfg, const, psi2)
+    m = np.asarray(const.mask)
+    err = np.abs(np.asarray(q2 - q)) * m
+    assert err.max() < 5e-6  # TOLERANCE 1e-6 in q units
+    assert int(st.iters) < vmg.NITERMAX
+
+
+def test_barotropic_helmholtz_inversion():
+    cfg = bt_cfg(N=32, gp_low=2.0, TOLERANCE=1e-8)
+    assert cfg.iRd2_low == pytest.approx(1.0 / 2.0)
+    const = qn.build_constants(cfg)
+    psi = vertex.bc_psi(jnp.asarray(RNG.standard_normal((1, 33, 33))))
+    q = qn.comp_q(cfg, const, psi)
+    psi2, st = qn.invert_q(cfg, const, jnp.zeros_like(psi), q)
+    m = np.asarray(const.mask)
+    assert (np.abs(np.asarray(psi2 - psi)) * m).max() < 1e-5
+
+
+def test_bc_fac_noslip_vorticity():
+    """bc_fac=1 (no slip): wall zeta = 2*(psi_in - 0)/Delta^2."""
+    cfg = bc_cfg(bc_fac=1.0)
+    const = qn.build_constants(cfg)
+    psi = vertex.bc_psi(jnp.asarray(RNG.standard_normal((3, 33, 33))))
+    q = qn.comp_q(cfg, const, psi)
+    c = 2.0 / cfg.delta**2
+    np.testing.assert_allclose(np.asarray(q)[:, 5, 0],
+                               c * np.asarray(psi)[:, 5, 1], rtol=1e-12)
+
+
+def test_double_gyre_barotropic_spinup():
+    cfg = bt_cfg(tend=1.0)
+    const = qn.build_constants(cfg)
+    state = qn.init_state(cfg, const, seed=0)
+    step = jax.jit(qn.make_step(cfg))
+    kes = []
+    for _ in range(8):
+        state, d = step(state, const, jnp.asarray(1e9))
+        kes.append(float(d.ke))
+    assert np.isfinite(np.asarray(state.q)).all()
+    assert kes[-1] > 0 and kes[-1] > kes[0]
+    # boundary nodes stay masked
+    assert np.allclose(np.asarray(state.q)[:, 0, :], 0.0)
+
+
+def test_time_varying_forcing():
+    cfg = bt_cfg(tau1=0.5, tf1=2.0)
+    const = qn.build_constants(cfg)
+    f0 = np.asarray(qn.q_forcing_field(cfg, const, jnp.asarray(0.0)))
+    f1 = np.asarray(qn.q_forcing_field(cfg, const, jnp.asarray(0.5)))
+    assert np.abs(f0 - f1).max() > 0  # wind varies in time
+    # amplitude at t=0: -(tau0+tau1)*forc_mode*pi/L0 envelope
+    assert np.abs(f0).max() <= (cfg.tau0 + cfg.tau1) * 2 * np.pi / cfg.L0 + 1e-12
+
+
+def test_baroclinic_multilayer_step():
+    cfg = bc_cfg()
+    const = qn.build_constants(cfg)
+    state = qn.init_state(cfg, const, seed=2)
+    step = jax.jit(qn.make_step(cfg))
+    for _ in range(5):
+        state, d = step(state, const, jnp.asarray(1e9))
+    assert np.isfinite(np.asarray(state.q)).all()
+    assert np.isfinite(float(d.ke)) and float(d.ke) > 0
+
+
+def test_masked_wavelet_filter():
+    cfg = bc_cfg(dtflt=1.0, Lfmax=50.0, Lfmin=50.0)
+    const = qn.build_constants(cfg)
+    state = qn.init_state(cfg, const, seed=3)
+    assert state.psi_f is not None
+    s2 = qn.wavelet_filter(cfg, const, state)
+    assert int(s2.nbar) == 1
+    assert np.isfinite(np.asarray(s2.psi)).all()
+    # filter splits: psi_new + dtflt*psi_f*1 ~ original inverted psi interior
+    psi_inv, _ = qn.invert_q(cfg, const, state.psi, state.q)
+    recon = np.asarray(s2.psi) + np.asarray(s2.psi_f) * cfg.dtflt
+    m = np.asarray(const.mask)
+    np.testing.assert_allclose(recon * m, np.asarray(psi_inv) * m,
+                               atol=1e-10)
+
+
+def test_stochastic_noise_masked():
+    cfg = bc_cfg(stochastic=True, amp_stoch=0.1, L_filt_stoch=10.0)
+    const = qn.build_constants(cfg)
+    key = jax.random.PRNGKey(0)
+    n = qn.generate_noise(cfg, const, key, (3, 33, 33))
+    n = np.asarray(n)
+    assert n.std() > 0
+    assert np.allclose(n[:, 0, :], 0.0)  # masked at boundary
