@@ -45,7 +45,11 @@ class QGConstants:
     s_stoch: jnp.ndarray | None    # (nl, N, N) stochastic noise sigma
     ptr_relax: jnp.ndarray | None  # (nl, nptr, N, N)
     sig_lev: tuple | None      # per-level wavelet filter weights (high-pass)
+    iBu: jnp.ndarray | None    # (nl, N, N) modal Helmholtz coeffs (<= 0)
+    l2m: jnp.ndarray | None    # layer->mode matrices
+    m2l: jnp.ndarray | None
     levels: Any                # multigrid levels pytree
+    mlevels: Any               # modal-path multigrid levels (or None)
     idh0: tuple                # hashable: pytree metadata
     idh1: tuple
 
@@ -53,7 +57,8 @@ class QGConstants:
 jax.tree_util.register_dataclass(
     QGConstants,
     data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
-                 "wind", "s_stoch", "ptr_relax", "sig_lev", "levels"],
+                 "wind", "s_stoch", "ptr_relax", "sig_lev", "iBu", "l2m",
+                 "m2l", "levels", "mlevels"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -169,11 +174,43 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     levels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=strl,
                                      idh0=idh0, idh1=idh1, dtype=dt)
 
+    # vertical modes (modal inversion path, MODE_PV_INVERT): one eigensolve
+    # per distinct column — uniform or a y-batch for varRo (eigmode.h re-design,
+    # SURVEY.md §7)
+    iBu = l2m = m2l = None
+    mlevels = None
+    Rd_modal = None
+    if cfg.mode_pv_invert and nl > 1:
+        from msom_tpu.ops import modes as modes_mod
+        s_np = np.asarray(strl, np.float64)            # (nl-1, N, N)
+        if np.allclose(s_np, s_np[:, :1, :1]):         # uniform column
+            vm = modes_mod.eigmod(dh, s_np[:, 0, 0])
+            iBu_f = np.broadcast_to(vm.iBu[:, None, None], (nl, N, N))
+            Rd_modal = float(vm.Rd[1]) * np.ones((N, N))
+        elif np.allclose(s_np, s_np[..., :1]):         # y-varying (varRo)
+            vm = modes_mod.eigmod(dh, np.moveaxis(s_np[..., 0], 0, -1))
+            iBu_f = np.broadcast_to(np.moveaxis(vm.iBu, -1, 0)[..., None],
+                                    (nl, N, N))
+            Rd_modal = np.broadcast_to(vm.Rd[:, 1][:, None], (N, N))
+        else:                                          # fully varying
+            vm = modes_mod.eigmod(dh, np.moveaxis(s_np, 0, -1))
+            iBu_f = np.moveaxis(vm.iBu, -1, 0)
+            Rd_modal = vm.Rd[..., 1]
+        iBu = jnp.asarray(iBu_f, dt)
+        l2m = jnp.asarray(vm.l2m, dt)
+        m2l = jnp.asarray(vm.m2l, dt)
+        mlevels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=None,
+                                          lam=iBu, dtype=dt)
+
     # wavelet filter scale sig_filt = min(afilt*Rd, Lfmax) and per-level
     # high-pass weights (msqg/qg.h:1052-1090); Rd defaults to 1, overridden
-    # by the rdpg input field.
+    # by the rdpg input field; the modal path uses the first-baroclinic
+    # deformation radius sqrt(-1/iBu_1) (msqg/qg.h:1052-1057).
     from msom_tpu.ops.wavelet import sig_lev_pyramid
-    Rd = np.ones((N, N)) if rdpg is None else np.asarray(rdpg, np.float64)
+    if cfg.mode_pv_invert and Rd_modal is not None:
+        Rd = Rd_modal
+    else:
+        Rd = np.ones((N, N)) if rdpg is None else np.asarray(rdpg, np.float64)
     sig_filt = np.minimum(cfg.afilt * Rd, cfg.Lfmax)
     sig_lev = tuple(jnp.asarray(s_, dt)
                     for s_ in sig_lev_pyramid(sig_filt, cfg.L0))
@@ -185,7 +222,8 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         wind=wind,
         s_stoch=None if s_stoch is None else jnp.asarray(s_stoch, dt),
         ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
-        sig_lev=sig_lev, levels=levels, idh0=tuple(float(v) for v in idh0),
+        sig_lev=sig_lev, iBu=iBu, l2m=l2m, m2l=m2l, levels=levels,
+        mlevels=mlevels, idh0=tuple(float(v) for v in idh0),
         idh1=tuple(float(v) for v in idh1))
 
 
@@ -199,7 +237,22 @@ def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:
 
 def invert_q(cfg: QGConfig, const: QGConstants, psi_guess, q):
     """PV inversion psi = L^-1 q, warm-started (invertq,
-    /root/reference/msqg/qg.h:113-163; tolerance 1e-3 at :159)."""
+    /root/reference/msqg/qg.h:113-163; tolerance 1e-3 at :159).
+
+    The modal path (MODE_PV_INVERT, :116-157) projects q onto vertical modes
+    with a batched matmul, solves nl INDEPENDENT 2-D Helmholtz problems in
+    one batched multigrid (no vertical coupling -> the line solver
+    degenerates to a diagonal), and projects back."""
+    if cfg.mode_pv_invert and const.iBu is not None:
+        from msom_tpu.ops import modes as modes_mod
+        vm = modes_mod.VerticalModes(l2m=const.l2m, m2l=const.m2l,
+                                     iBu=None, Rd=None)
+        qm = modes_mod.to_modes(vm, q)
+        pm_guess = modes_mod.to_modes(vm, psi_guess)
+        pm, st = mg.solve_layered(pm_guess, qm, L0=cfg.L0, s=None,
+                                  lam=const.iBu, bc=_bc_psi(cfg),
+                                  tolerance=cfg.tol, levels=const.mlevels)
+        return modes_mod.to_layers(vm, pm), st
     return mg.solve_layered(psi_guess, q, L0=cfg.L0, s=const.strl,
                             idh0=const.idh0, idh1=const.idh1,
                             bc=_bc_psi(cfg), tolerance=cfg.tol,

@@ -89,6 +89,7 @@ class QGConfig:
     CFL: float = 0.5
     # numerics
     tol: float = 1e-3        # PV-inversion tolerance (msqg/qg.h:159)
+    mode_pv_invert: bool = False  # modal inversion path (msqg/qg.h:4,109-157)
     dtype: str = "float32"
 
     # ----- derived (read-only properties) -----

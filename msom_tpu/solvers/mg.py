@@ -134,7 +134,7 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
         n = 2 ** lev
         delta = L0 / n
         d2 = delta * delta
-        if nl > 1:
+        if nl > 1 and s_l is not None:
             sarr = s_l  # (nl-1, n, n)
             t0 = jnp.concatenate(
                 [jnp.zeros((1, n, n), dtype),
@@ -143,8 +143,10 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
                 [-d2 * sarr * jnp.asarray(idh1[:-1], dtype).reshape(-1, 1, 1),
                  jnp.zeros((1, n, n), dtype)], 0)
         else:
-            t0 = jnp.zeros((1, n, n), dtype)
-            t2 = jnp.zeros((1, n, n), dtype)
+            # no vertical coupling: layers (or modes) are independent and the
+            # line solve degenerates to a diagonal
+            t0 = jnp.zeros((nl, n, n), dtype)
+            t2 = jnp.zeros((nl, n, n), dtype)
         t1 = 4.0 - t0 - t2
         if lam_l is not None:
             t1 = t1 - d2 * lam_l
