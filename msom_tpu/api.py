@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msom_tpu.ops.bc import pad
+from msom_tpu.ops.ghost import ghosted, laplacian_g
 from msom_tpu.ops.stencil import laplacian
 from msom_tpu.models import qg as _qg
 
@@ -59,10 +60,10 @@ def qg_tendency(cfg, const, q, direction: float = 1.0, tracers=None):
         c = dataclasses.replace(cfg, Re=-cfg.Re, Re4=-cfg.Re4,
                                 Eks=-abs(cfg.Eks), Ekb=-abs(cfg.Ekb))
     psi, _ = _qg.invert_q(c, const, jnp.zeros_like(q), q)
-    psi_pad = pad(psi, _qg._bc_psi(c))
-    zeta = laplacian(psi_pad, c.delta)
-    zeta_pad = _qg._pad_deriv(c, zeta, psi_pad)
-    dq, dtr = _qg.rhs(c, const, q, psi, psi_pad, zeta, zeta_pad, tracers)
+    psi_g = ghosted(psi, _qg._bc_psi(c))
+    zeta = laplacian_g(psi_g, c.delta)
+    zeta_g = _qg._ghost_deriv(c, zeta, psi_g)
+    dq, dtr = _qg.rhs(c, const, q, psi, psi_g, zeta, zeta_g, tracers)
     return (dq, dtr) if tracers is not None else dq
 
 

@@ -44,11 +44,14 @@ def _next_event(t, cadence, eps=1e-10):
 
 def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
            max_steps: int | None = None, log_every: int = 1):
-    """Integrate the msqg model to cfg.tend. Returns the final state.
+    """Integrate the msqg model to cfg.tend. Returns the final state (and
+    attaches the energy accumulator as `run_qg.energy` when ediag > -1).
 
     Mirrors the reference driver loop /root/reference/msqg/qg.c: KE heartbeat
     each step (writestdout), output event at t += dtout, filter event at
-    t += dtflt.
+    t += dtflt, per-step energy accumulation when ediag > -1 (comp_diag,
+    qg_energy.h:286-288) with the filter-event de_ft term and per-window
+    reset at outputs.
     """
     hooks = hooks or RunHooks()
     if const is None:
@@ -58,6 +61,14 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
 
     step = jax.jit(qg_model.make_step(cfg))
 
+    energy = None
+    energy_tend_j = None
+    if cfg.ediag > -1:
+        from msom_tpu.models import qg_energy as en
+        energy = en.init_energy(cfg)
+        energy_tend_j = jax.jit(
+            lambda acc, psi, dt: en.energy_tend(cfg, const, acc, psi, dt))
+
     t = float(state.t)
     i = int(state.i)
     tend = cfg.tend
@@ -65,12 +76,20 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     next_flt = _next_event(0.0, cfg.dtflt)
 
     while t < tend - 1e-10:
-        if hooks.on_output is not None and t >= next_out - 1e-10:
-            hooks.on_output(state, t)
         if t >= next_out - 1e-10:
+            if hooks.on_output is not None:
+                hooks.on_output(state, t)
+            if energy is not None and hasattr(hooks.on_output, "write_energy"):
+                hooks.on_output.write_energy(energy, int(state.i))
+            if energy is not None:
+                from msom_tpu.models import qg_energy as en
+                energy = en.reset_window(energy)
             next_out = _next_event(t, cfg.dtout)
         if cfg.dtflt > 0 and t >= next_flt - 1e-10:
             from msom_tpu.ops.wavelet import wavelet_filter_step
+            if energy is not None:
+                from msom_tpu.models import qg_energy as en
+                energy = en.filter_de(cfg, const, energy, state.q, state.psi)
             state = wavelet_filter_step(cfg, const, state)
             if hooks.on_filter is not None:
                 hooks.on_filter(state, t)
@@ -80,6 +99,8 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
         state, diag = step(state, const, jnp.asarray(tnext, state.t.dtype))
         t = float(state.t)
         i = int(state.i)
+        if energy is not None:
+            energy = energy_tend_j(energy, state.psi, diag.dt)
         if hooks.on_log is not None and i % log_every == 0:
             hooks.on_log(i, float(diag.dt), t, float(diag.ke))
         if max_steps is not None and i >= max_steps:
@@ -87,6 +108,7 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
 
     if hooks.on_output is not None and t >= next_out - 1e-10:
         hooks.on_output(state, t)
+    run_qg.energy = energy
     return state
 
 
@@ -186,6 +208,17 @@ class OutputWriter:
             tr = np.asarray(state.tracers)
             write_bas(f"{self.dir}/ptr{i:09d}.bas",
                       tr.reshape(-1, cfg.N, cfg.N), cfg.L0)
+
+    def write_energy(self, energy, i):
+        """Flush the per-window energy budget fields rescaled by 1/dtout
+        (/root/reference/msqg/qg.c:139-166)."""
+        from msom_tpu.io.bas import write_bas
+        import numpy as np
+
+        s = 1.0 / self.cfg.dtout
+        for name in ("de_bf", "de_vd", "de_j1", "de_j2", "de_j3", "de_ft"):
+            write_bas(f"{self.dir}/{name}{i:09d}.bas",
+                      np.asarray(getattr(energy, name)) * s, self.cfg.L0)
 
 
 def stdout_hooks(stream=sys.stdout) -> RunHooks:

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from msom_tpu.ops.bc import BC, pad, pad_zeta_slip
+from msom_tpu.ops import ghost
+from msom_tpu.ops.ghost import (Ghosted, arakawa_mjac_g, beta_effect_g,
+                                ghosted, ghosted_from_padded, ghosted_slip,
+                                laplacian_g, max_face_speed)
 from msom_tpu.ops.stencil import (arakawa_mjac, beta_effect, face_velocities,
                                   laplacian)
 from msom_tpu.ops.stretch import layer_metrics, stretch
@@ -229,7 +233,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
 
 def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:
     """q = lap(psi) + Gamma(psi) (comp_q, /root/reference/msqg/qg.h:396-403)."""
-    q = laplacian(pad(psi, _bc_psi(cfg)), cfg.delta)
+    q = laplacian_g(ghosted(psi, _bc_psi(cfg)), cfg.delta)
     if cfg.nl > 1:
         q = q + stretch(psi, const.strl, const.idh0, const.idh1)
     return q
@@ -306,8 +310,15 @@ def _pad_deriv(cfg, field, parent_pad):
     return pad_zeta_slip(field, parent_pad, cfg.sbc, cfg.delta)
 
 
-def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
-        tracers):
+def _ghost_deriv(cfg, field, parent_g: Ghosted) -> Ghosted:
+    """Roll-based version of _pad_deriv."""
+    if cfg.sbc == -1:
+        return ghosted(field, BC.PERIODIC)
+    return ghosted_slip(field, parent_g, cfg.sbc, cfg.delta)
+
+
+def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
+        zeta_g: Ghosted, tracers):
     """Full tendency assembly (update_qg, /root/reference/msqg/qg.h:609-650).
 
     Returns (dq, dtracers). The advected vorticity is zeta (advection_pv is
@@ -315,8 +326,8 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
     cascade supplying the remaining part of J(psi, q)."""
     d = cfg.delta
     nl = cfg.nl
-    mj = arakawa_mjac
-    pp = const.pp_pad
+    mj = arakawa_mjac_g
+    pp = ghosted_from_padded(const.pp_pad)
     dq = jnp.zeros_like(q)
 
     if nl > 1:
@@ -324,21 +335,21 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
         # variant (/root/reference/msqg/qg_stochastic.h:17-111) drops the
         # self-advection in the top layer, drops J(po,po2) from the cascade,
         # and adds linear damping -q/tr_stoch.
-        self_jac = mj(psi_pad, zeta_pad, d)
+        self_jac = mj(psi_g, zeta_g, d)
         if cfg.stochastic:
             self_jac = self_jac.at[0].set(0.0)
-        dq = dq + self_jac + mj(pp, zeta_pad, d) \
-            + beta_effect(psi_pad, cfg.beta, d)
+        dq = dq + self_jac + mj(pp, zeta_g, d) \
+            + beta_effect_g(psi_g, cfg.beta, d)
         # interface stretch-Jacobians jd/ju cascade
-        J = mj(pp[:-1], psi_pad[1:], d) + mj(psi_pad[:-1], pp[1:], d)
+        J = mj(pp[:-1], psi_g[1:], d) + mj(psi_g[:-1], pp[1:], d)
         if not cfg.stochastic:
-            J = J + mj(psi_pad[:-1], psi_pad[1:], d)
+            J = J + mj(psi_g[:-1], psi_g[1:], d)
         idh0 = jnp.asarray(const.idh0, q.dtype).reshape(nl, 1, 1)
         idh1 = jnp.asarray(const.idh1, q.dtype).reshape(nl, 1, 1)
         dq = dq.at[:-1].add(const.strl * J * idh1[:-1])
         dq = dq.at[1:].add(-const.strl * J * idh0[1:])
         if cfg.flsrv == 1:
-            dq = dq + mj(psi_pad, const.zetap_pad, d)
+            dq = dq + mj(psi_g, ghosted_from_padded(const.zetap_pad), d)
         if cfg.stochastic:
             dq = dq - q * cfg.itr_stoch
     # nl == 1: advection contributes nothing (msqg/qg.h:376-379)
@@ -346,11 +357,11 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
     # dissipation (dissip, /root/reference/msqg/qg.h:406-422)
     if cfg.nl > 1:
         dq = dq + cfg.iRe * stretch(zeta, const.strl, const.idh0, const.idh1)
-    tmp = laplacian(zeta_pad, d)
+    tmp = laplacian_g(zeta_g, d)
     dq = dq + cfg.iRe * tmp
     if cfg.iRe4 != 0.0:
-        tmp_pad = _pad_deriv(cfg, tmp, zeta_pad)
-        bih = laplacian(tmp_pad, d)
+        tmp_g = _ghost_deriv(cfg, tmp, zeta_g)
+        bih = laplacian_g(tmp_g, d)
         if cfg.nl > 1:
             bih = bih + stretch(tmp, const.strl, const.idh0, const.idh1)
         dq = dq + cfg.iRe4 * bih
@@ -369,17 +380,19 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
 
     # bottom topography (/root/reference/msqg/qg.h:480-488)
     if const.topo_pad is not None:
-        dq = dq.at[nl - 1].add(mj(psi_pad[nl - 1], const.topo_pad, d)
-                               / (const.Ro * dh[nl - 1]))
+        dq = dq.at[nl - 1].add(
+            mj(psi_g[nl - 1], ghosted_from_padded(const.topo_pad), d)
+            / (const.Ro * dh[nl - 1]))
 
     # passive tracers (ptr_rhs, /root/reference/msqg/qg.h:573-588)
     dtr = None
     if tracers is not None:
         bc_tr = BC.PERIODIC if cfg.sbc == -1 else BC.NEUMANN
-        tr_pad = pad(tracers, bc_tr)
+        tr_g = ghosted(tracers, bc_tr)
         iPe = jnp.asarray(cfg.iPe[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
         ir = jnp.asarray(cfg.ptr_ir[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
-        dtr = mj(psi_pad[:, None], tr_pad, d) + iPe * laplacian(tr_pad, d)
+        psi_gb = psi_g[:, None]
+        dtr = mj(psi_gb, tr_g, d) + iPe * laplacian_g(tr_g, d)
         if const.ptr_relax is not None:
             dtr = dtr + ir * (const.ptr_relax - tracers)
         else:
@@ -387,18 +400,20 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_pad, zeta, zeta_pad,
     return dq, dtr
 
 
-def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_pad, dtmax0, prev):
+def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
+              prev):
     """CFL controller chain: timestep() called per layer for psi then pp, all
     sharing the `previous` smoothing state (advection_pv,
     /root/reference/msqg/qg.h:383-391; Basilisk timestep.h semantics, cf.
     adjust_dt /root/reference/qg-node/qg.h:258-284)."""
     d = cfg.delta
     dtm = dtmax0
-    big = jnp.asarray(jnp.finfo(psi_pad.dtype).max / 4, psi_pad.dtype)
+    dtype = psi_g.a.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    pp_g = ghosted_from_padded(const.pp_pad)
     for l in range(cfg.nl):
-        for fpad in (psi_pad[l], const.pp_pad[l]):
-            ufx, ufy = face_velocities(fpad, d)
-            umax = jnp.maximum(jnp.max(jnp.abs(ufx)), jnp.max(jnp.abs(ufy)))
+        for fg in (psi_g[l], pp_g[l]):
+            umax = max_face_speed(fg, d)
             dt_cfl = jnp.where(umax > 0, cfg.CFL * d / umax, big)
             dtm = jnp.minimum(dtm, dt_cfl)
             dtm = jnp.where(dtm > prev, (prev + 0.1 * dtm) / 1.1, dtm)
@@ -420,7 +435,7 @@ def kinetic_energy(cfg: QGConfig, psi: jnp.ndarray) -> jnp.ndarray:
     """Surface-layer KE as logged every step: ke = -sum 0.5*psi*lap(psi)*Delta^2
     (/root/reference/msqg/qg.c:101-109)."""
     p0 = psi[0]
-    lap = laplacian(pad(p0, _bc_psi(cfg)), cfg.delta)
+    lap = laplacian_g(ghosted(p0, _bc_psi(cfg)), cfg.delta)
     return -jnp.sum(0.5 * p0 * lap) * cfg.delta ** 2
 
 
@@ -428,11 +443,11 @@ def update(cfg: QGConfig, const: QGConstants, q, psi_guess, tracers, prev,
            dtmax0):
     """One RHS evaluation: PV inversion + tendencies + CFL (update_qg)."""
     psi, st = invert_q(cfg, const, psi_guess, q)
-    psi_pad = pad(psi, _bc_psi(cfg))
-    zeta = laplacian(psi_pad, cfg.delta)
-    zeta_pad = _pad_deriv(cfg, zeta, psi_pad)
-    dq, dtr = rhs(cfg, const, q, psi, psi_pad, zeta, zeta_pad, tracers)
-    dtm, prev = cfl_dtmax(cfg, const, psi_pad, dtmax0, prev)
+    psi_g = ghosted(psi, _bc_psi(cfg))
+    zeta = laplacian_g(psi_g, cfg.delta)
+    zeta_g = _ghost_deriv(cfg, zeta, psi_g)
+    dq, dtr = rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, tracers)
+    dtm, prev = cfl_dtmax(cfg, const, psi_g, dtmax0, prev)
     return dq, dtr, psi, prev, dtm, st
 
 
@@ -449,10 +464,6 @@ def make_step(cfg: QGConfig):
     DT = cfg.dt_clamped()
 
     def step(state: QGState, const: QGConstants, tnext):
-        dq, dtr, psi1, prev, dtm, st1 = update(
-            cfg, const, state.q, state.psi, state.tracers, state.dt_prev, DT)
-        dt = dtnext(state.t, tnext, dtm)
-
         noise = None
         key = state.key
         if cfg.stochastic:
@@ -461,31 +472,40 @@ def make_step(cfg: QGConfig):
             noise = cfg.amp_stoch * sigma * jax.random.normal(
                 sub, state.q.shape, state.q.dtype)
 
-        # predictor: half Euler step
-        q_half = state.q + dq * (dt / 2)
-        if cfg.stochastic:
-            # dts = sqrt(dt/2)/sqrt(2) = sqrt(dt)/2 (qg_stochastic.h:136)
-            q_half = q_half + noise * jnp.sqrt(dt) / 2.0
-        tr_half = None
-        if state.tracers is not None:
-            tr_half = state.tracers + dtr * (dt / 2)
+        q0 = state.q
+        tr0 = state.tracers
+        have_tr = tr0 is not None
+        zero = jnp.zeros((), q0.dtype)
 
-        # corrector RHS at midpoint (its dtmax feeds only the smoothing state)
-        dq2, dtr2, psi2, prev, _, st2 = update(
-            cfg, const, q_half, psi1, tr_half, prev, DT)
+        # The predictor (half step) and corrector (full step) run the SAME
+        # update; folding them into a 2-iteration scan keeps only one traced
+        # copy of the inversion+RHS in the program (halves XLA compile size
+        # vs inlining both sub-steps).
+        def substep(carry, is_first):
+            q_eval, tr_eval, psi, prev, dt = carry
+            dq, dtr, psi, prev, dtm, st = update(
+                cfg, const, q_eval, psi, tr_eval, prev, DT)
+            dt = jnp.where(is_first, dtnext(state.t, tnext, dtm), dt)
+            frac = jnp.where(is_first, 0.5, 1.0)
+            q_eval = q0 + dq * (frac * dt)
+            if cfg.stochastic:
+                # predictor: sqrt(dt/2)/sqrt(2) = sqrt(dt)/2; corrector:
+                # sqrt(dt) (qg_stochastic.h:128-149, shared noise)
+                q_eval = q_eval + noise * jnp.sqrt(dt) \
+                    * jnp.where(is_first, 0.5, 1.0)
+            if have_tr:
+                tr_eval = tr0 + dtr * (frac * dt)
+            return (q_eval, tr_eval, psi, prev, dt), st
 
-        q_new = state.q + dq2 * dt
-        if cfg.stochastic:
-            q_new = q_new + noise * jnp.sqrt(dt)
-        tr_new = None
-        if state.tracers is not None:
-            tr_new = state.tracers + dtr2 * dt
+        carry0 = (q0, tr0, state.psi, state.dt_prev, zero)
+        (q_new, tr_new, psi2, prev, dt), sts = jax.lax.scan(
+            substep, carry0, jnp.asarray([True, False]))
 
         new = QGState(q=q_new, psi=psi2, t=state.t + dt, dt_prev=prev,
                       i=state.i + 1, key=key, tracers=tr_new,
                       qof=state.qof, nbar=state.nbar)
         diag = StepDiag(dt=dt, ke=kinetic_energy(cfg, psi2),
-                        mg_iters=st1.iters, mg_res=st1.resa)
+                        mg_iters=sts.iters[0], mg_res=sts.resa[0])
         return new, diag
 
     return step

@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from msom_tpu.ops.bc import BC, pad
-from msom_tpu.ops.stencil import arakawa_mjac, beta_effect, laplacian
+from msom_tpu.ops.ghost import (arakawa_mjac_g, beta_effect_g, ghosted,
+                                ghosted_from_padded, laplacian_g)
 from msom_tpu.ops.stretch import stretch
-from msom_tpu.models.qg import QGConstants, _bc_psi, _pad_deriv
+from msom_tpu.models.qg import QGConstants, _bc_psi, _ghost_deriv
 from msom_tpu.params import QGConfig
 
 
@@ -58,28 +59,28 @@ def _weight(psi, ediag):
     return -psi * (1.0 - ediag) + ediag
 
 
-def advection_de(cfg: QGConfig, const: QGConstants, psi, psi_pad, zeta_pad,
+def advection_de(cfg: QGConfig, const: QGConstants, psi, psi_g, zeta_g,
                  dt, ediag):
     """(dj1, dj2, dj3) increments (advection_de,
     /root/reference/msqg/qg_energy.h:27-154), vectorized over layers with the
     ju/jd swap pattern ju2 = -jd3_prev, ju3 = -jd2_prev."""
     d = cfg.delta
     nl = cfg.nl
-    mj = arakawa_mjac
-    pp = const.pp_pad
+    mj = arakawa_mjac_g
+    pp = ghosted_from_padded(const.pp_pad)
     w = _weight(psi, ediag) * dt
-    dj1 = mj(psi_pad, zeta_pad, d) * w
-    dj2 = mj(pp, zeta_pad, d) * w
-    dj3 = beta_effect(psi_pad, cfg.beta, d) * w
+    dj1 = mj(psi_g, zeta_g, d) * w
+    dj2 = mj(pp, zeta_g, d) * w
+    dj3 = beta_effect_g(psi_g, cfg.beta, d) * w
     if cfg.flsrv == 1:
-        dj3 = dj3 + mj(psi_pad, const.zetap_pad, d) * w
+        dj3 = dj3 + mj(psi_g, ghosted_from_padded(const.zetap_pad), d) * w
     if nl > 1:
         idh0 = jnp.asarray(const.idh0, psi.dtype).reshape(nl, 1, 1)
         idh1 = jnp.asarray(const.idh1, psi.dtype).reshape(nl, 1, 1)
-        jd1 = mj(psi_pad[:-1], psi_pad[1:], d)      # (nl-1, N, N) interfaces
-        jd2 = mj(pp[:-1], psi_pad[1:], d)
-        jd3 = mj(psi_pad[:-1], pp[1:], d)
-        jc = mj(psi_pad, pp, d)                      # (nl, N, N) per layer
+        jd1 = mj(psi_g[:-1], psi_g[1:], d)          # (nl-1, N, N) interfaces
+        jd2 = mj(pp[:-1], psi_g[1:], d)
+        jd3 = mj(psi_g[:-1], pp[1:], d)
+        jc = mj(psi_g, pp, d)                        # (nl, N, N) per layer
         s = const.strl
         # downward terms at layer l (l < nl-1): s1 * (...) * idh1
         dj1 = dj1.at[:-1].add(s * jd1 * idh1[:-1] * w[:-1])
@@ -93,18 +94,18 @@ def advection_de(cfg: QGConfig, const: QGConstants, psi, psi_pad, zeta_pad,
     return dj1, dj2, dj3
 
 
-def dissip_de(cfg: QGConfig, const: QGConstants, psi, zeta, zeta_pad, dt,
+def dissip_de(cfg: QGConfig, const: QGConstants, psi, zeta, zeta_g, dt,
               ediag):
     """de_vd increment (dissip_de, /root/reference/msqg/qg_energy.h:157-187)."""
     d = cfg.delta
     w = _weight(psi, ediag) * dt
-    tmp = laplacian(zeta_pad, d)
+    tmp = laplacian_g(zeta_g, d)
     out = cfg.iRe * tmp * w
     if cfg.nl > 1:
         out = out + cfg.iRe * stretch(zeta, const.strl, const.idh0,
                                       const.idh1) * w
-    tmp_pad = _pad_deriv(cfg, tmp, zeta_pad)
-    bih = laplacian(tmp_pad, d)
+    tmp_g = _ghost_deriv(cfg, tmp, zeta_g)
+    bih = laplacian_g(tmp_g, d)
     if cfg.nl > 1:
         bih = bih + stretch(tmp, const.strl, const.idh0, const.idh1)
     return out + cfg.iRe4 * bih * w
@@ -126,11 +127,11 @@ def energy_tend(cfg: QGConfig, const: QGConstants, acc: EnergyAccum, psi, dt):
     /root/reference/msqg/qg_energy.h:228-242, 286-288)."""
     ediag = float(max(cfg.ediag, 0))
     bc = _bc_psi(cfg)
-    psi_pad = pad(psi, bc)
-    zeta = laplacian(psi_pad, cfg.delta)
-    zeta_pad = _pad_deriv(cfg, zeta, psi_pad)
-    dj1, dj2, dj3 = advection_de(cfg, const, psi, psi_pad, zeta_pad, dt, ediag)
-    dvd = dissip_de(cfg, const, psi, zeta, zeta_pad, dt, ediag)
+    psi_g = ghosted(psi, bc)
+    zeta = laplacian_g(psi_g, cfg.delta)
+    zeta_g = _ghost_deriv(cfg, zeta, psi_g)
+    dj1, dj2, dj3 = advection_de(cfg, const, psi, psi_g, zeta_g, dt, ediag)
+    dvd = dissip_de(cfg, const, psi, zeta, zeta_g, dt, ediag)
     dbf = ekman_de(cfg, psi, zeta, dt, ediag)
     po_mft = (acc.po_mft * acc.nme_ft + psi) / (acc.nme_ft + 1)
     return dataclasses.replace(

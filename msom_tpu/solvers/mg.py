@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from msom_tpu.ops.bc import BC, pad
+from msom_tpu.ops.ghost import ghosted, laplacian_g, neighbor_sum
 from msom_tpu.ops.stencil import laplacian, shift
 from msom_tpu.ops.stretch import stretch
 from msom_tpu.ops import tridiag
@@ -162,8 +163,7 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
 
 def _residual_layered(a, b, lvl: _Level, bc: BC, idh0, idh1):
     """res = b - L(a), max-norm. /root/reference/msqg/poisson_layer.h:157-258."""
-    ap = pad(a, bc)
-    res = b - laplacian(ap, lvl.delta)
+    res = b - laplacian_g(ghosted(a, bc), lvl.delta)
     if lvl.s is not None:
         res = res - stretch(a, lvl.s, idh0, idh1)
     if lvl.lam is not None:
@@ -176,10 +176,7 @@ def _relax_layered(da, res, lvl: _Level, nrelax, bc: BC):
     d2 = lvl.delta * lvl.delta
 
     def one_color(da, mask):
-        P = pad(da, bc)
-        nbsum = (shift(P, 0, 1) + shift(P, 0, -1)
-                 + shift(P, 1, 0) + shift(P, -1, 0))
-        rhs = -d2 * res + nbsum
+        rhs = -d2 * res + neighbor_sum(ghosted(da, bc))
         x = tridiag.solve_factored(lvl.cp, lvl.im, lvl.t0, rhs)
         return jnp.where(mask, x, da)
 

@@ -32,12 +32,11 @@ def test_energy_sum_reproduces_rhs():
     q = m.comp_q(cfg, const, psi)
 
     # RHS via the model (tau0=0 so wind contributes nothing)
-    from msom_tpu.ops.bc import pad
-    from msom_tpu.ops.stencil import laplacian
-    psi_pad = pad(psi, m._bc_psi(cfg))
-    zeta = laplacian(psi_pad, cfg.delta)
-    zeta_pad = m._pad_deriv(cfg, zeta, psi_pad)
-    dq, _ = m.rhs(cfg, const, q, psi, psi_pad, zeta, zeta_pad, None)
+    from msom_tpu.ops.ghost import ghosted, laplacian_g
+    psi_g = ghosted(psi, m._bc_psi(cfg))
+    zeta = laplacian_g(psi_g, cfg.delta)
+    zeta_g = m._ghost_deriv(cfg, zeta, psi_g)
+    dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None)
 
     acc = en.init_energy(cfg)
     acc = en.energy_tend(cfg, const, acc, psi, dt=1.0)
