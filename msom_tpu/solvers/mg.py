@@ -59,34 +59,104 @@ class MGStats(NamedTuple):
 
 
 def restrict_cell(a: jnp.ndarray) -> jnp.ndarray:
-    """4-child average (Basilisk `restriction`), last two axes halved."""
-    return 0.25 * (a[..., ::2, ::2] + a[..., 1::2, ::2]
-                   + a[..., ::2, 1::2] + a[..., 1::2, 1::2])
+    """4-child average (Basilisk `restriction`), last two axes halved.
+
+    Implemented as a 2x2/stride-2 reduce_window (TPU pooling path) — the
+    strided-slice formulation lowers to gathers on TPU (~11x slower
+    measured at 2048^2)."""
+    ones = (1,) * (a.ndim - 2)
+    return 0.25 * jax.lax.reduce_window(a, jnp.zeros((), a.dtype),
+                                        jax.lax.add, ones + (2, 2),
+                                        ones + (2, 2), "VALID")
 
 
 def prolong_bilinear(c: jnp.ndarray, bc: BC) -> jnp.ndarray:
     """Basilisk `bilinear` prolongation: child = (9*parent + 3*nx + 3*ny +
     nxy)/16 with neighbours toward the child quadrant; coarse ghosts filled
-    with the level BC (boundary_level)."""
-    P = pad(c, bc)
-    cc = P[..., 1:-1, 1:-1]
-    w, e = P[..., 1:-1, :-2], P[..., 1:-1, 2:]
-    s_, n_ = P[..., :-2, 1:-1], P[..., 2:, 1:-1]
-    sw, se = P[..., :-2, :-2], P[..., :-2, 2:]
-    nw, ne = P[..., 2:, :-2], P[..., 2:, 2:]
-    f00 = 9 * cc + 3 * w + 3 * s_ + sw
-    f01 = 9 * cc + 3 * e + 3 * s_ + se
-    f10 = 9 * cc + 3 * w + 3 * n_ + nw
-    f11 = 9 * cc + 3 * e + 3 * n_ + ne
-    ny, nx = cc.shape[-2], cc.shape[-1]
-    out = jnp.stack([jnp.stack([f00, f01], -1), jnp.stack([f10, f11], -1)], -3)
-    return (out / 16.0).reshape(*c.shape[:-2], 2 * ny, 2 * nx)
+    with the level BC (boundary_level).
+
+    TPU-fast formulation: nearest-neighbour upsample U (jnp.repeat), then the
+    quadrant-dependent coarse neighbours are U rolled by +-2 lanes/sublanes
+    selected by fine-index parity, with ghost columns/rows patched in
+    (matches ops.bc.pad: x applied before y, so corner ghosts compose
+    sign_y o sign_x). Bit-identical to the stack/reshape interleave version,
+    ~5x faster at 2048^2 (the interleave lowers to strided scatters)."""
+    m = c.shape[-1]
+    U = jnp.repeat(jnp.repeat(c, 2, -1), 2, -2)
+    if bc is BC.PERIODIC:
+        Ux = jnp.where(_parity(2 * m, 1) == 0,
+                       jnp.roll(U, 2, -1), jnp.roll(U, -2, -1))
+        Sy, Ny = jnp.roll(U, 2, -2), jnp.roll(U, -2, -2)
+        Uy = jnp.where(_parity(2 * m, 0) == 0, Sy, Ny)
+        UxyS = jnp.where(_parity(2 * m, 1) == 0,
+                         jnp.roll(Sy, 2, -1), jnp.roll(Sy, -2, -1))
+        UxyN = jnp.where(_parity(2 * m, 1) == 0,
+                         jnp.roll(Ny, 2, -1), jnp.roll(Ny, -2, -1))
+        Uxy = jnp.where(_parity(2 * m, 0) == 0, UxyS, UxyN)
+        return (9 * U + 3 * Ux + 3 * Uy + Uxy) / 16.0
+    sign = -1.0 if bc is BC.DIRICHLET else 1.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 2 * m), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * m, 2 * m), 0)
+
+    def xnbr(A):
+        W = jnp.where(col < 2, sign * A, jnp.roll(A, 2, -1))
+        E = jnp.where(col >= 2 * m - 2, sign * A, jnp.roll(A, -2, -1))
+        return jnp.where((col % 2) == 0, W, E)
+
+    Sy = jnp.where(row < 2, sign * U, jnp.roll(U, 2, -2))
+    Ny = jnp.where(row >= 2 * m - 2, sign * U, jnp.roll(U, -2, -2))
+    Ux = xnbr(U)
+    Uy = jnp.where((row % 2) == 0, Sy, Ny)
+    Uxy = jnp.where((row % 2) == 0, xnbr(Sy), xnbr(Ny))
+    return (9 * U + 3 * Ux + 3 * Uy + Uxy) / 16.0
+
+
+def _parity(n: int, dim: int) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, (n, n), dim) % 2
 
 
 def _checkerboard(ny: int, nx: int) -> np.ndarray:
     j = np.arange(ny)[:, None]
     i = np.arange(nx)[None, :]
     return ((j + i) % 2) == 0
+
+
+def _y_profile(a: jnp.ndarray | None) -> np.ndarray | None:
+    """(k, n, n) field -> (k, n) y-profile if it is constant along x."""
+    if a is None:
+        return None
+    if isinstance(a, jax.core.Tracer):
+        # levels built inside a trace (solve_layered called under jit with
+        # levels=None): the constancy check needs concrete values — skip the
+        # Pallas fast path, keep the XLA lowering
+        return None
+    arr = np.asarray(a)
+    if arr.ndim != 3 or arr.shape[-1] < 2:
+        return None
+    if not np.array_equal(arr, np.broadcast_to(arr[..., :1], arr.shape)):
+        return None
+    return arr[..., 0]
+
+
+def _pallas_level_data(n, s_l, lam_l, t0, cp, im, dtype):
+    """Build the Pallas fast-path profiles for a level whose coefficients are
+    y-profiles; (None, None) otherwise (full-field coefficients fall back to
+    the XLA lowering)."""
+    from msom_tpu.solvers import pallas_mg
+    t0p, cpp, imp = _y_profile(t0), _y_profile(cp), _y_profile(im)
+    if t0p is None or cpp is None or imp is None:
+        return None, None
+    sp = _y_profile(s_l)
+    lamp = _y_profile(lam_l)
+    if (s_l is not None and sp is None) or (lam_l is not None and lamp is None):
+        return None, None
+    sw = pallas_mg.build_sweep_profiles(t0p, cpp, imp, n, dtype)
+    rp = pallas_mg.build_residual_profiles(sp, lamp, n, dtype,
+                                           nl=t0.shape[0])
+    return sw, rp
+
+
+_BC_SIGN = {BC.DIRICHLET: -1.0, BC.NEUMANN: 1.0}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,10 +170,14 @@ class _Level:
     cp: jnp.ndarray            # Thomas factors
     im: jnp.ndarray
     red: jnp.ndarray           # bool (n, n) checkerboard
+    # Pallas fast-path data (present when the coefficients are y-profiles,
+    # i.e. constant along x — the standard msqg configuration)
+    sw: object | None = None   # pallas_mg.SweepProfiles
+    rp: object | None = None   # pallas_mg.ResidualProfiles
 
 
 jax.tree_util.register_dataclass(
-    _Level, data_fields=["s", "lam", "t0", "cp", "im", "red"],
+    _Level, data_fields=["s", "lam", "t0", "cp", "im", "red", "sw", "rp"],
     meta_fields=["delta"])
 
 
@@ -152,8 +226,10 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
         if lam_l is not None:
             t1 = t1 - d2 * lam_l
         cp, im = tridiag.factor(t0, t1, t2)
+        sw, rp = _pallas_level_data(n, s_l, lam_l, t0, cp, im, dtype)
         levels.append(_Level(delta=delta, s=s_l, lam=lam_l, t0=t0, cp=cp,
-                             im=im, red=jnp.asarray(_checkerboard(n, n))))
+                             im=im, red=jnp.asarray(_checkerboard(n, n)),
+                             sw=sw, rp=rp))
         if s_l is not None:
             s_l = restrict_cell(s_l)
         if lam_l is not None:
@@ -163,6 +239,12 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
 
 def _residual_layered(a, b, lvl: _Level, bc: BC, idh0, idh1):
     """res = b - L(a), max-norm. /root/reference/msqg/poisson_layer.h:157-258."""
+    from msom_tpu.solvers import pallas_mg
+    if lvl.rp is not None and bc in _BC_SIGN and pallas_mg.enabled(a.dtype):
+        sign = _BC_SIGN[bc]
+        return pallas_mg.residual_norm(a, b, lvl.rp, delta=lvl.delta,
+                                       idh0=idh0, idh1=idh1,
+                                       sign_x=sign, sign_y=sign)
     res = b - laplacian_g(ghosted(a, bc), lvl.delta)
     if lvl.s is not None:
         res = res - stretch(a, lvl.s, idh0, idh1)
@@ -173,7 +255,17 @@ def _residual_layered(a, b, lvl: _Level, bc: BC, idh0, idh1):
 
 def _relax_layered(da, res, lvl: _Level, nrelax, bc: BC):
     """nrelax sweeps of red-black vertical-line relaxation."""
+    from msom_tpu.solvers import pallas_mg
     d2 = lvl.delta * lvl.delta
+
+    if lvl.sw is not None and bc in _BC_SIGN and pallas_mg.enabled(da.dtype):
+        sign = _BC_SIGN[bc]
+
+        def body_p(_, da):
+            return pallas_mg.rb_line_sweep(da, res, lvl.sw, d2=d2,
+                                           sign_x=sign, sign_y=sign)
+
+        return jax.lax.fori_loop(0, nrelax, body_p, da)
 
     def one_color(da, mask):
         rhs = -d2 * res + neighbor_sum(ghosted(da, bc))
