@@ -186,7 +186,9 @@ class OutputWriter:
         import numpy as np
         sig_filt = np.minimum(cfg.afilt * np.ones((cfg.N, cfg.N)), cfg.Lfmax)
         write_bas(f"{self.dir}/sig_filt.bas", sig_filt, cfg.L0)
-        pp = np.asarray(const.pp_pad)[:, 1:-1, 1:-1]
+        pp = (np.zeros((cfg.nl, cfg.N, cfg.N), np.float32)
+              if const.pp_pad is None
+              else np.asarray(const.pp_pad)[:, 1:-1, 1:-1])
         write_bas(f"{self.dir}/psipg_{cfg.nl}l_N{cfg.N}.bas", pp, cfg.L0)
         np.asarray(cfg.dh[:cfg.nl], np.float32).tofile(
             f"{self.dir}/dh_{cfg.nl}l.bin")

@@ -1,0 +1,274 @@
+"""Fused Pallas TPU kernel for the msqg RHS (update_qg hot path).
+
+One HBM pass computes, from psi alone: zeta = lap(psi), the Arakawa
+self-advection J(psi, zeta), the beta term, the interface stretch-Jacobian
+cascade, harmonic/biharmonic dissipation (two in-kernel Laplacian sweeps with
+the intermediate ghost rule, matching the reference's two-sweep biharmonic,
+/root/reference/msqg/qg.h:406-422), Ekman friction and the wind forcing —
+i.e. the whole of update_qg (/root/reference/msqg/qg.h:609-650) for the
+uncoupled free-slip configuration. The XLA lowering of the same math costs
+~25 ms at 2048^2 x 4 layers (dozens of unfused roll/select kernels); this
+kernel is one grid pass.
+
+Supported (static) configuration — callers must fall back to models.qg.rhs
+otherwise: sbc == 0 (free slip: every derived field takes the Dirichlet
+ghost = -interior rule, so corner ghosts compose to +interior exactly as
+ops.ghost.Ghosted), no large-scale coupling (pp == 0), no topography, no 3-D
+forcing, no stochastic variant, stretching strl and wind constant along x
+(y-profiles — true for the built-in double-gyre forcing and (Fr/Ro(y))^2).
+Passive tracers are handled outside (their tendency does not feed dq).
+
+Tiling mirrors solvers.pallas_mg: y-tiles of T rows with 8-row halo slabs
+(halo use = 3 rows: zeta needs psi+-1, tmp needs zeta+-1, lap(tmp) needs
+tmp+-1), redundant rim compute, ghost rows materialized in-register at the
+physical walls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from msom_tpu.solvers.pallas_mg import _tile_profile, default_interpret
+
+_H = 3  # halo rows used (<= 8, the slab width)
+
+
+@dataclasses.dataclass(frozen=True)
+class RhsKernelData:
+    """Static per-config data for the fused RHS kernel."""
+    strl: jnp.ndarray | None   # (ntiles, nl-1, T+6, 1) tiled y-profile
+    wind: jnp.ndarray          # (ntiles, 1, T+6, 1)
+    T: int
+
+
+jax.tree_util.register_dataclass(
+    RhsKernelData, data_fields=["strl", "wind"], meta_fields=["T"])
+
+
+def build_kernel_data(cfg, const_wind: np.ndarray,
+                      strl_prof: np.ndarray | None) -> RhsKernelData | None:
+    """strl_prof: (nl-1, N) y-profile (None for nl == 1); const_wind: (N, N)
+    whose rows must be x-constant."""
+    from msom_tpu.solvers.pallas_mg import pick_tile
+    N = cfg.N
+    T = pick_tile(N, nl=max(cfg.nl, 2), itemsize=4)
+    if T is None:
+        return None
+    windp = np.asarray(const_wind)
+    if not np.array_equal(windp, np.broadcast_to(windp[:, :1], windp.shape)):
+        return None
+    dt = jnp.dtype(cfg.dtype)
+    wind = jnp.asarray(_tile_profile(windp[None, :, 0], T, _H), dt)
+    strl = None
+    if strl_prof is not None:
+        strl = jnp.asarray(_tile_profile(np.asarray(strl_prof), T, _H), dt)
+    return RhsKernelData(strl=strl, wind=wind, T=T)
+
+
+def applicable(cfg, const) -> bool:
+    """Static config gate (see module docstring)."""
+    return (cfg.sbc == 0.0 and not cfg.stochastic
+            and const.pp_pad is None and const.zetap_pad is None
+            and const.topo_pad is None and const.qforc is None
+            and getattr(const, "rhsk", None) is not None)
+
+
+def _xshift(a, di: int):
+    """x-neighbor view with the Dirichlet ghost = -edge rule (uniform over
+    rows: ghost rows then get -(-edge) = +corner, the Ghosted corner value)."""
+    nx = a.shape[-1]
+    out = jnp.roll(a, -di, axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, a.shape[-2:], 1)
+    edge = nx - 1 if di > 0 else 0
+    return jnp.where(col[None] == edge, -a, out)
+
+
+def _yroll(a, dj: int):
+    return jnp.roll(a, -dj, axis=1)
+
+
+def _yfix(f, grow, nglob):
+    """Materialize the physical wall ghost rows: row(-1) = -row(0),
+    row(N) = -row(N-1) (Dirichlet half-cell)."""
+    up = _yroll(f, 1)     # value from the row above (grow+1)
+    dn = _yroll(f, -1)    # value from the row below (grow-1)
+    f = jnp.where(grow[None] == -1, -up, f)
+    return jnp.where(grow[None] == nglob, -dn, f)
+
+
+def _lap(f, id2):
+    return (_xshift(f, 1) + _xshift(f, -1) + _yroll(f, 1) + _yroll(f, -1)
+            - 4.0 * f) * id2
+
+
+def _views(f):
+    """center + 8 neighbor views, x applied before y (Ghosted.shift order)."""
+    fE, fW = _xshift(f, 1), _xshift(f, -1)
+    return dict(c=f, e=fE, w=fW, n=_yroll(f, 1), s=_yroll(f, -1),
+                ne=_yroll(fE, 1), se=_yroll(fE, -1),
+                nw=_yroll(fW, 1), sw=_yroll(fW, -1))
+
+
+def _mjac(p, q, i12d2):
+    """-J(p, q), the 12-point Arakawa bracket on view dicts
+    (ops.ghost.arakawa_mjac_g, /root/reference/msqg/qg.h:252-262)."""
+    j = ((q["e"] - q["w"]) * (p["n"] - p["s"])
+         + (q["s"] - q["n"]) * (p["e"] - p["w"])
+         + q["e"] * (p["ne"] - p["se"])
+         - q["w"] * (p["nw"] - p["sw"])
+         - q["n"] * (p["ne"] - p["nw"])
+         + q["s"] * (p["se"] - p["sw"])
+         + p["n"] * (q["ne"] - q["nw"])
+         - p["s"] * (q["se"] - q["sw"])
+         - p["e"] * (q["ne"] - q["se"])
+         + p["w"] * (q["nw"] - q["sw"]))
+    return j * i12d2
+
+
+def _stretch_prof(a, s, idh0, idh1):
+    """Gamma(a) with an (nl-1, R, 1) stretching profile and static python
+    float metrics (ops.stretch semantics)."""
+    nl = a.shape[0]
+    if nl == 1:
+        return jnp.zeros_like(a)
+    dif = s * (a[:-1] - a[1:])   # s[l]*(a[l] - a[l+1])
+    rows = []
+    for l in range(nl):
+        g = None
+        if l > 0 and idh0[l] != 0.0:
+            g = idh0[l] * dif[l - 1]
+        if l < nl - 1 and idh1[l] != 0.0:
+            t = -idh1[l] * dif[l]
+            g = t if g is None else g + t
+        rows.append(jnp.zeros_like(a[0]) if g is None else g)
+    return jnp.stack(rows, axis=0)
+
+
+def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, *,
+                T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
+                idh0, idh1, has_strl):
+    i = pl.program_id(0)
+    nl = psi_c.shape[0]
+    nx = psi_c.shape[-1]
+    d2 = delta * delta
+    id2 = 1.0 / d2
+    i12d2 = 1.0 / (12.0 * d2)
+    R = T + 2 * _H
+
+    psi = jnp.concatenate(
+        [psi_u[:, 8 - _H:8, :], psi_c[:], psi_d[:, 0:_H, :]], axis=1)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+
+    psi = _yfix(psi, grow, nglob)
+    s = strl_r[0, :, :, :] if has_strl else None   # (nl-1, R, 1)
+    wind = wind_r[0, 0, :, :]                       # (R, 1)
+
+    zeta = _lap(psi, id2)
+    if has_strl:
+        # q would add Gamma(psi); the advected field is zeta itself
+        pass
+    zeta = _yfix(zeta, grow, nglob)
+
+    pv = _views(psi)
+    zv = _views(zeta)
+
+    # advection: J(psi, zeta) + beta v (advection_pv, msqg/qg.h:287-393);
+    # the msqg core skips advection entirely for nl == 1 (qg.h:376-379)
+    if nl > 1:
+        dq = _mjac(pv, zv, i12d2)
+        dq = dq + beta * (pv["w"] - pv["e"]) / (2.0 * delta)
+    else:
+        dq = jnp.zeros_like(psi)
+    if nl > 1 and has_strl:
+        # interface cascade ju/jd with J(psi_l, psi_l+1)
+        J = _mjac({k: v[:-1] for k, v in pv.items()},
+                  {k: v[1:] for k, v in pv.items()}, i12d2)
+        sj = s * J
+        rows = []
+        for l in range(nl):
+            g = dq[l]
+            if l < nl - 1 and idh1[l] != 0.0:
+                g = g + idh1[l] * sj[l]
+            if l > 0 and idh0[l] != 0.0:
+                g = g - idh0[l] * sj[l - 1]
+            rows.append(g)
+        dq = jnp.stack(rows, axis=0)
+
+    # dissipation (dissip, msqg/qg.h:406-422)
+    tmp = None
+    if iRe != 0.0:
+        tmp = _lap(zeta, id2)
+        dq = dq + iRe * tmp
+        if has_strl:
+            dq = dq + iRe * _stretch_prof(zeta, s, idh0, idh1)
+    if iRe4 != 0.0:
+        if tmp is None:
+            tmp = _lap(zeta, id2)
+        tmpf = _yfix(tmp, grow, nglob)
+        bih = _lap(tmpf, id2)
+        if has_strl:
+            bih = bih + _stretch_prof(tmp, s, idh0, idh1)
+        dq = dq + iRe4 * bih
+
+    # Ekman friction + wind (msqg/qg.h:428-459)
+    rows = []
+    for l in range(nl):
+        g = dq[l]
+        if l == 0 and ek_top != 0.0:
+            g = g - ek_top * zeta[0]
+        if l == nl - 1 and ek_bot != 0.0:
+            g = g - ek_bot * zeta[nl - 1]
+        if l == 0:
+            g = g - wind
+        rows.append(g)
+    dq = jnp.stack(rows, axis=0)
+
+    out_ref[:] = dq[:, _H:T + _H, :]
+
+
+def rhs_fused(cfg, const, psi: jnp.ndarray,
+              interpret: bool | None = None) -> jnp.ndarray:
+    """dq for the supported configuration (see module docstring)."""
+    if interpret is None:
+        interpret = default_interpret()
+    kd: RhsKernelData = const.rhsk
+    nl, n, nx = psi.shape
+    T = kd.T
+    nb, tb = n // 8, T // 8
+    center = pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0))
+    up = pl.BlockSpec((nl, 8, nx),
+                      lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
+    down = pl.BlockSpec((nl, 8, nx),
+                        lambda i: (0, jnp.minimum((i + 1) * tb, nb - 1), 0))
+    has_strl = kd.strl is not None
+    strl_arg = kd.strl if has_strl else jnp.zeros((n // T, 1, T + 2 * _H, 1),
+                                                  psi.dtype)
+    sspec = pl.BlockSpec((1, strl_arg.shape[1], T + 2 * _H, 1),
+                         lambda i: (i, 0, 0, 0))
+    wspec = pl.BlockSpec((1, 1, T + 2 * _H, 1), lambda i: (i, 0, 0, 0))
+    dh = cfg.dh
+    kern = functools.partial(
+        _rhs_kernel, T=T, nglob=n, delta=float(cfg.delta),
+        beta=float(cfg.beta), iRe=float(cfg.iRe), iRe4=float(cfg.iRe4),
+        ek_top=float(cfg.Eks / (cfg.Rom * 2 * dh[0])),
+        ek_bot=float(cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1])),
+        idh0=tuple(float(v) for v in const.idh0),
+        idh1=tuple(float(v) for v in const.idh1),
+        has_strl=has_strl)
+    return pl.pallas_call(
+        kern,
+        grid=(n // T,),
+        in_specs=[center, up, down, sspec, wspec],
+        out_specs=pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(psi.shape, psi.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(psi, psi, psi, strl_arg, kd.wind)

@@ -56,13 +56,14 @@ class QGConstants:
     mlevels: Any               # modal-path multigrid levels (or None)
     idh0: tuple                # hashable: pytree metadata
     idh1: tuple
+    rhsk: Any = None           # pallas_rhs.RhsKernelData fast path (or None)
 
 
 jax.tree_util.register_dataclass(
     QGConstants,
     data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
                  "wind", "s_stoch", "ptr_relax", "sig_lev", "iBu", "l2m",
-                 "m2l", "levels", "mlevels"],
+                 "m2l", "levels", "mlevels", "rhsk"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -120,12 +121,18 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     vpg = np.zeros(nl)
     upg[:len(cfg.upg)] = cfg.upg[:nl]
     vpg[:len(cfg.vpg)] = cfg.vpg[:nl]
+    have_pg = psipg is not None or np.any(upg[:nl]) or np.any(vpg[:nl])
     if psipg is not None:
         pp = np.asarray(psipg, np.float64)
     else:
         pp = vpg[:, None, None] * X - upg[:, None, None] * Y
 
-    if cfg.sbc == -1:
+    if not have_pg:
+        # no large-scale coupling: pp == 0 identically, so every J(.,pp)
+        # term vanishes — prune them statically (pp_pad=None) so the RHS and
+        # CFL chain skip ~half their stencil work in the uncoupled case
+        pp_pad = None
+    elif cfg.sbc == -1:
         # periodic run: pp ghosts follow dirichlet(vpg*x - upg*y) applied to
         # the non-periodic large-scale field (msqg/qg.h:1105-1114):
         # ghost = 2*value(face) - interior.
@@ -160,11 +167,11 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         strl = jnp.asarray((Fr / Ro) ** 2, dt)
 
     # large-scale relative vorticity (only if flsrv, msqg/qg.h:1094-1096)
-    if cfg.flsrv == 1:
+    if cfg.flsrv == 1 and pp_pad is not None:
         zetap = laplacian(pp_pad, cfg.delta)
+        zetap_pad = pad(zetap, _bc_psi(cfg))
     else:
-        zetap = jnp.zeros((nl, N, N), dt)
-    zetap_pad = pad(zetap, _bc_psi(cfg))
+        zetap_pad = None
 
     # surface forcing field (msqg/qg.h:446-459): dq0 -= wind
     wind = jnp.asarray(
@@ -219,6 +226,22 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     sig_lev = tuple(jnp.asarray(s_, dt)
                     for s_ in sig_lev_pyramid(sig_filt, cfg.L0))
 
+    # fused Pallas RHS fast path (free-slip, uncoupled, y-profile coeffs)
+    rhsk = None
+    if cfg.sbc == 0.0 and not cfg.stochastic:
+        from msom_tpu.models import pallas_rhs
+        s_np = None if strl is None else np.asarray(strl)
+        sprof = None
+        ok = True
+        if s_np is not None:
+            if np.array_equal(s_np, np.broadcast_to(s_np[..., :1],
+                                                    s_np.shape)):
+                sprof = s_np[..., 0]
+            else:
+                ok = False
+        if ok:
+            rhsk = pallas_rhs.build_kernel_data(cfg, np.asarray(wind), sprof)
+
     return QGConstants(
         pp_pad=pp_pad, zetap_pad=zetap_pad, strl=strl,
         Ro=jnp.asarray(Ro, dt), topo_pad=topo_pad,
@@ -228,7 +251,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
         sig_lev=sig_lev, iBu=iBu, l2m=l2m, m2l=m2l, levels=levels,
         mlevels=mlevels, idh0=tuple(float(v) for v in idh0),
-        idh1=tuple(float(v) for v in idh1))
+        idh1=tuple(float(v) for v in idh1), rhsk=rhsk)
 
 
 def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:
@@ -327,39 +350,53 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
     d = cfg.delta
     nl = cfg.nl
     mj = arakawa_mjac_g
-    pp = ghosted_from_padded(const.pp_pad)
+    have_pg = const.pp_pad is not None
+    pp = ghosted_from_padded(const.pp_pad) if have_pg else None
     dq = jnp.zeros_like(q)
 
     if nl > 1:
         # advection_pv (/root/reference/msqg/qg.h:287-393); the stochastic
         # variant (/root/reference/msqg/qg_stochastic.h:17-111) drops the
         # self-advection in the top layer, drops J(po,po2) from the cascade,
-        # and adds linear damping -q/tr_stoch.
+        # and adds linear damping -q/tr_stoch. Every J(., pp) term is pruned
+        # statically when pp == 0 (no PG coupling inputs).
         self_jac = mj(psi_g, zeta_g, d)
         if cfg.stochastic:
             self_jac = self_jac.at[0].set(0.0)
-        dq = dq + self_jac + mj(pp, zeta_g, d) \
-            + beta_effect_g(psi_g, cfg.beta, d)
+        dq = dq + self_jac + beta_effect_g(psi_g, cfg.beta, d)
+        if have_pg:
+            dq = dq + mj(pp, zeta_g, d)
         # interface stretch-Jacobians jd/ju cascade
-        J = mj(pp[:-1], psi_g[1:], d) + mj(psi_g[:-1], pp[1:], d)
+        J = None
+        if have_pg:
+            J = mj(pp[:-1], psi_g[1:], d) + mj(psi_g[:-1], pp[1:], d)
         if not cfg.stochastic:
-            J = J + mj(psi_g[:-1], psi_g[1:], d)
-        idh0 = jnp.asarray(const.idh0, q.dtype).reshape(nl, 1, 1)
-        idh1 = jnp.asarray(const.idh1, q.dtype).reshape(nl, 1, 1)
-        dq = dq.at[:-1].add(const.strl * J * idh1[:-1])
-        dq = dq.at[1:].add(-const.strl * J * idh0[1:])
-        if cfg.flsrv == 1:
+            Jself = mj(psi_g[:-1], psi_g[1:], d)
+            J = Jself if J is None else J + Jself
+        if J is not None:
+            idh0 = jnp.asarray(const.idh0, q.dtype).reshape(nl, 1, 1)
+            idh1 = jnp.asarray(const.idh1, q.dtype).reshape(nl, 1, 1)
+            dq = dq.at[:-1].add(const.strl * J * idh1[:-1])
+            dq = dq.at[1:].add(-const.strl * J * idh0[1:])
+        if cfg.flsrv == 1 and const.zetap_pad is not None:
             dq = dq + mj(psi_g, ghosted_from_padded(const.zetap_pad), d)
         if cfg.stochastic:
             dq = dq - q * cfg.itr_stoch
     # nl == 1: advection contributes nothing (msqg/qg.h:376-379)
 
-    # dissipation (dissip, /root/reference/msqg/qg.h:406-422)
-    if cfg.nl > 1:
-        dq = dq + cfg.iRe * stretch(zeta, const.strl, const.idh0, const.idh1)
-    tmp = laplacian_g(zeta_g, d)
-    dq = dq + cfg.iRe * tmp
+    # dissipation (dissip, /root/reference/msqg/qg.h:406-422); the harmonic
+    # iRe terms and the biharmonic iRe4 terms are skipped statically when
+    # their (static) coefficients are zero
+    tmp = None
+    if cfg.iRe != 0.0:
+        if cfg.nl > 1:
+            dq = dq + cfg.iRe * stretch(zeta, const.strl, const.idh0,
+                                        const.idh1)
+        tmp = laplacian_g(zeta_g, d)
+        dq = dq + cfg.iRe * tmp
     if cfg.iRe4 != 0.0:
+        if tmp is None:
+            tmp = laplacian_g(zeta_g, d)
         tmp_g = _ghost_deriv(cfg, tmp, zeta_g)
         bih = laplacian_g(tmp_g, d)
         if cfg.nl > 1:
@@ -368,8 +405,11 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
 
     # Ekman friction (/root/reference/msqg/qg.h:428-440)
     dh = cfg.dh
-    dq = dq.at[0].add(-cfg.Eks / (cfg.Rom * 2 * dh[0]) * zeta[0])
-    dq = dq.at[nl - 1].add(-cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1]) * zeta[nl - 1])
+    if cfg.Eks != 0.0:
+        dq = dq.at[0].add(-cfg.Eks / (cfg.Rom * 2 * dh[0]) * zeta[0])
+    if cfg.Ekb != 0.0:
+        dq = dq.at[nl - 1].add(
+            -cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1]) * zeta[nl - 1])
 
     # surface wind forcing (/root/reference/msqg/qg.h:446-459)
     dq = dq.at[0].add(-const.wind)
@@ -410,9 +450,14 @@ def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
     dtm = dtmax0
     dtype = psi_g.a.dtype
     big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
-    pp_g = ghosted_from_padded(const.pp_pad)
+    # pp == 0 iterations are exact no-ops (umax = 0 -> dt_cfl = big -> dtm
+    # unchanged, and the smoothing branch dtm > prev is false since prev was
+    # just set to dtm), so they are skipped when pp is pruned
+    pp_g = None if const.pp_pad is None \
+        else ghosted_from_padded(const.pp_pad)
     for l in range(cfg.nl):
-        for fg in (psi_g[l], pp_g[l]):
+        fields = (psi_g[l],) if pp_g is None else (psi_g[l], pp_g[l])
+        for fg in fields:
             umax = max_face_speed(fg, d)
             dt_cfl = jnp.where(umax > 0, cfg.CFL * d / umax, big)
             dtm = jnp.minimum(dtm, dt_cfl)
@@ -442,11 +487,17 @@ def kinetic_energy(cfg: QGConfig, psi: jnp.ndarray) -> jnp.ndarray:
 def update(cfg: QGConfig, const: QGConstants, q, psi_guess, tracers, prev,
            dtmax0):
     """One RHS evaluation: PV inversion + tendencies + CFL (update_qg)."""
+    from msom_tpu.models import pallas_rhs
+    from msom_tpu.solvers import pallas_mg as _pk
     psi, st = invert_q(cfg, const, psi_guess, q)
     psi_g = ghosted(psi, _bc_psi(cfg))
-    zeta = laplacian_g(psi_g, cfg.delta)
-    zeta_g = _ghost_deriv(cfg, zeta, psi_g)
-    dq, dtr = rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, tracers)
+    if (tracers is None and pallas_rhs.applicable(cfg, const)
+            and _pk.enabled(psi.dtype)):
+        dq, dtr = pallas_rhs.rhs_fused(cfg, const, psi), None
+    else:
+        zeta = laplacian_g(psi_g, cfg.delta)
+        zeta_g = _ghost_deriv(cfg, zeta, psi_g)
+        dq, dtr = rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, tracers)
     dtm, prev = cfl_dtmax(cfg, const, psi_g, dtmax0, prev)
     return dq, dtr, psi, prev, dtm, st
 
@@ -475,37 +526,37 @@ def make_step(cfg: QGConfig):
         q0 = state.q
         tr0 = state.tracers
         have_tr = tr0 is not None
-        zero = jnp.zeros((), q0.dtype)
 
-        # The predictor (half step) and corrector (full step) run the SAME
-        # update; folding them into a 2-iteration scan keeps only one traced
-        # copy of the inversion+RHS in the program (halves XLA compile size
-        # vs inlining both sub-steps).
-        def substep(carry, is_first):
-            q_eval, tr_eval, psi, prev, dt = carry
+        # predictor (half step) and corrector (full step), inlined: wrapping
+        # the two substeps in a lax.scan costs ~20 ms/step at 2048^2 on TPU
+        # (carry materialization defeats buffer aliasing); inlining trades
+        # compile size for that.
+        def substep(q_eval, tr_eval, psi, prev, dt, is_first):
             dq, dtr, psi, prev, dtm, st = update(
                 cfg, const, q_eval, psi, tr_eval, prev, DT)
-            dt = jnp.where(is_first, dtnext(state.t, tnext, dtm), dt)
-            frac = jnp.where(is_first, 0.5, 1.0)
+            if is_first:
+                dt = dtnext(state.t, tnext, dtm)
+            frac = 0.5 if is_first else 1.0
             q_eval = q0 + dq * (frac * dt)
             if cfg.stochastic:
                 # predictor: sqrt(dt/2)/sqrt(2) = sqrt(dt)/2; corrector:
                 # sqrt(dt) (qg_stochastic.h:128-149, shared noise)
-                q_eval = q_eval + noise * jnp.sqrt(dt) \
-                    * jnp.where(is_first, 0.5, 1.0)
+                q_eval = q_eval + noise * jnp.sqrt(dt) * frac
             if have_tr:
                 tr_eval = tr0 + dtr * (frac * dt)
-            return (q_eval, tr_eval, psi, prev, dt), st
+            return q_eval, tr_eval, psi, prev, dt, st
 
-        carry0 = (q0, tr0, state.psi, state.dt_prev, zero)
-        (q_new, tr_new, psi2, prev, dt), sts = jax.lax.scan(
-            substep, carry0, jnp.asarray([True, False]))
+        zero = jnp.zeros((), q0.dtype)
+        q1, tr1, psi1, prev, dt, st1 = substep(
+            q0, tr0, state.psi, state.dt_prev, zero, True)
+        q_new, tr_new, psi2, prev, dt, st2 = substep(
+            q1, tr1, psi1, prev, dt, False)
 
         new = QGState(q=q_new, psi=psi2, t=state.t + dt, dt_prev=prev,
                       i=state.i + 1, key=key, tracers=tr_new,
                       qof=state.qof, nbar=state.nbar)
         diag = StepDiag(dt=dt, ke=kinetic_energy(cfg, psi2),
-                        mg_iters=sts.iters[0], mg_res=sts.resa[0])
+                        mg_iters=st1.iters, mg_res=st1.resa)
         return new, diag
 
     return step

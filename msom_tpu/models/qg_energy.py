@@ -67,30 +67,33 @@ def advection_de(cfg: QGConfig, const: QGConstants, psi, psi_g, zeta_g,
     d = cfg.delta
     nl = cfg.nl
     mj = arakawa_mjac_g
-    pp = ghosted_from_padded(const.pp_pad)
+    # pruned pp (no PG coupling): all J(., pp) contributions are zero
+    have_pg = const.pp_pad is not None
+    pp = ghosted_from_padded(const.pp_pad) if have_pg else None
     w = _weight(psi, ediag) * dt
     dj1 = mj(psi_g, zeta_g, d) * w
-    dj2 = mj(pp, zeta_g, d) * w
+    dj2 = mj(pp, zeta_g, d) * w if have_pg else jnp.zeros_like(dj1)
     dj3 = beta_effect_g(psi_g, cfg.beta, d) * w
-    if cfg.flsrv == 1:
+    if cfg.flsrv == 1 and const.zetap_pad is not None:
         dj3 = dj3 + mj(psi_g, ghosted_from_padded(const.zetap_pad), d) * w
     if nl > 1:
         idh0 = jnp.asarray(const.idh0, psi.dtype).reshape(nl, 1, 1)
         idh1 = jnp.asarray(const.idh1, psi.dtype).reshape(nl, 1, 1)
         jd1 = mj(psi_g[:-1], psi_g[1:], d)          # (nl-1, N, N) interfaces
-        jd2 = mj(pp[:-1], psi_g[1:], d)
-        jd3 = mj(psi_g[:-1], pp[1:], d)
-        jc = mj(psi_g, pp, d)                        # (nl, N, N) per layer
         s = const.strl
         # downward terms at layer l (l < nl-1): s1 * (...) * idh1
         dj1 = dj1.at[:-1].add(s * jd1 * idh1[:-1] * w[:-1])
-        dj2 = dj2.at[:-1].add(s * (jd2 + jc[:-1]) * idh1[:-1] * w[:-1])
-        dj3 = dj3.at[:-1].add(s * (jd3 - jc[:-1]) * idh1[:-1] * w[:-1])
         # upward terms at layer l (l > 0): ju1 = -jd1[l-1], ju2 = -jd3[l-1],
         # ju3 = -jd2[l-1] (the swap, qg_energy.h:93-95)
         dj1 = dj1.at[1:].add(-s * jd1 * idh0[1:] * w[1:])
-        dj2 = dj2.at[1:].add(s * (-jd3 + jc[1:]) * idh0[1:] * w[1:])
-        dj3 = dj3.at[1:].add(s * (-jd2 - jc[1:]) * idh0[1:] * w[1:])
+        if have_pg:
+            jd2 = mj(pp[:-1], psi_g[1:], d)
+            jd3 = mj(psi_g[:-1], pp[1:], d)
+            jc = mj(psi_g, pp, d)                    # (nl, N, N) per layer
+            dj2 = dj2.at[:-1].add(s * (jd2 + jc[:-1]) * idh1[:-1] * w[:-1])
+            dj3 = dj3.at[:-1].add(s * (jd3 - jc[:-1]) * idh1[:-1] * w[:-1])
+            dj2 = dj2.at[1:].add(s * (-jd3 + jc[1:]) * idh0[1:] * w[1:])
+            dj3 = dj3.at[1:].add(s * (-jd2 - jc[1:]) * idh0[1:] * w[1:])
     return dj1, dj2, dj3
 
 
