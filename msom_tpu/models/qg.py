@@ -341,7 +341,7 @@ def _ghost_deriv(cfg, field, parent_g: Ghosted) -> Ghosted:
 
 
 def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
-        zeta_g: Ghosted, tracers):
+        zeta_g: Ghosted, tracers, *, ghost_deriv_fn=None, ghost_fn=None):
     """Full tendency assembly (update_qg, /root/reference/msqg/qg.h:609-650).
 
     Returns (dq, dtracers). The advected vorticity is zeta (advection_pv is
@@ -350,6 +350,10 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
     d = cfg.delta
     nl = cfg.nl
     mj = arakawa_mjac_g
+    if ghost_deriv_fn is None:
+        ghost_deriv_fn = lambda f, parent: _ghost_deriv(cfg, f, parent)
+    if ghost_fn is None:
+        ghost_fn = ghosted
     have_pg = const.pp_pad is not None
     pp = ghosted_from_padded(const.pp_pad) if have_pg else None
     dq = jnp.zeros_like(q)
@@ -397,7 +401,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
     if cfg.iRe4 != 0.0:
         if tmp is None:
             tmp = laplacian_g(zeta_g, d)
-        tmp_g = _ghost_deriv(cfg, tmp, zeta_g)
+        tmp_g = ghost_deriv_fn(tmp, zeta_g)
         bih = laplacian_g(tmp_g, d)
         if cfg.nl > 1:
             bih = bih + stretch(tmp, const.strl, const.idh0, const.idh1)
@@ -428,7 +432,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
     dtr = None
     if tracers is not None:
         bc_tr = BC.PERIODIC if cfg.sbc == -1 else BC.NEUMANN
-        tr_g = ghosted(tracers, bc_tr)
+        tr_g = ghost_fn(tracers, bc_tr)
         iPe = jnp.asarray(cfg.iPe[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
         ir = jnp.asarray(cfg.ptr_ir[:cfg.nptr], q.dtype).reshape(1, -1, 1, 1)
         psi_gb = psi_g[:, None]
@@ -441,7 +445,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
 
 
 def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
-              prev):
+              prev, *, reduce_fn=None):
     """CFL controller chain: timestep() called per layer for psi then pp, all
     sharing the `previous` smoothing state (advection_pv,
     /root/reference/msqg/qg.h:383-391; Basilisk timestep.h semantics, cf.
@@ -459,6 +463,8 @@ def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
         fields = (psi_g[l],) if pp_g is None else (psi_g[l], pp_g[l])
         for fg in fields:
             umax = max_face_speed(fg, d)
+            if reduce_fn is not None:
+                umax = reduce_fn(umax)   # global max across the device mesh
             dt_cfl = jnp.where(umax > 0, cfg.CFL * d / umax, big)
             dtm = jnp.minimum(dtm, dt_cfl)
             dtm = jnp.where(dtm > prev, (prev + 0.1 * dtm) / 1.1, dtm)

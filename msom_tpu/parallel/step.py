@@ -1,0 +1,139 @@
+"""Explicit shard_map model step: the whole msqg predictor-corrector on a
+('y', 'x') device mesh with ppermute halo exchanges, a sharded multigrid
+inversion (replicated coarse tail), pmax CFL/convergence reductions and a
+psum KE diagnostic — the fully explicit-collective counterpart of running
+models.qg.make_step under GSPMD (SURVEY.md §2.5, §3.1 process boundaries).
+
+Usage:
+    mesh = make_mesh(8)
+    step, place = make_qg_step_sharded(cfg, mesh)
+    state, const = place(state), place(const)
+    state, diag = step(state, const, tnext)   # jit-able
+
+Supported configuration (v1): the uncoupled free-slip/periodic msqg core —
+no pp coupling, no topography, no tracers, non-modal inversion. Everything
+else falls back to the GSPMD path, which supports the full model.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from msom_tpu.models import qg as m
+from msom_tpu.ops.bc import BC
+from msom_tpu.ops.ghost import laplacian_g
+from msom_tpu.parallel import halo, shard_mg
+
+
+def _spec_rule(my: int, mx: int):
+    """Leaf -> PartitionSpec: horizontal split when each device keeps at
+    least a 2x2 tile (agrees with shard_mg.level_is_sharded)."""
+    def rule(x):
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return P()
+        ny, nx = x.shape[-2], x.shape[-1]
+        if (ny % my == 0 and nx % mx == 0 and ny // my >= 2
+                and nx // mx >= 2):
+            return P(*([None] * (x.ndim - 2) + ["y", "x"]))
+        return P()
+    return rule
+
+
+def tree_specs(tree, my: int, mx: int):
+    return jax.tree.map(_spec_rule(my, mx), tree)
+
+
+def make_qg_step_sharded(cfg, mesh, state_example, const_example):
+    """Build (step, place): `step(state, const, tnext)` is the shard_map'ed
+    predictor-corrector; `place(tree)` device_puts a pytree with the
+    matching shardings."""
+    assert const_example.pp_pad is None, "sharded step v1: no PG coupling"
+    assert const_example.topo_pad is None, "sharded step v1: no topography"
+    assert state_example.tracers is None, "sharded step v1: no tracers"
+    assert not (cfg.mode_pv_invert and const_example.iBu is not None), \
+        "sharded step v1: layered (non-modal) inversion"
+    my, mx = mesh.devices.shape
+    bc = m._bc_psi(cfg)
+    DT = cfg.dt_clamped()
+    delta = cfg.delta
+
+    def ghost_deriv(f, parent_g):
+        if cfg.sbc == -1:
+            return halo.ghosted_sharded(f, BC.PERIODIC)
+        return halo.ghosted_slip_sharded(f, parent_g, cfg.sbc, delta)
+
+    def update(const, q, psi_guess, prev):
+        psi, st = shard_mg.solve_layered_sharded(
+            psi_guess, q, levels=const.levels, my=my, mx=mx,
+            idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
+        psi_g = halo.ghosted_sharded(psi, bc)
+        zeta = laplacian_g(psi_g, delta)
+        zeta_g = ghost_deriv(zeta, psi_g)
+        dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None,
+                      ghost_deriv_fn=ghost_deriv,
+                      ghost_fn=lambda f, b: halo.ghosted_sharded(f, b))
+        dtm, prev = m.cfl_dtmax(cfg, const, psi_g, DT, prev,
+                                reduce_fn=halo.pmax2)
+        return dq, psi, prev, dtm, st
+
+    def local_step(state, const, tnext):
+        q0 = state.q
+        key = state.key
+        noise = None
+        if cfg.stochastic:
+            # per-device fold-in keeps streams independent across tiles
+            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(
+                sub, lax.axis_index("y") * mx + lax.axis_index("x"))
+            sigma = const.s_stoch if const.s_stoch is not None else 1.0
+            noise = cfg.amp_stoch * sigma * jax.random.normal(
+                sub, q0.shape, q0.dtype)
+
+        def substep(q_eval, psi, prev, dt, is_first):
+            dq, psi, prev, dtm, st = update(const, q_eval, psi, prev)
+            if is_first:
+                dt = m.dtnext(state.t, tnext, dtm)
+            frac = 0.5 if is_first else 1.0
+            q_eval = q0 + dq * (frac * dt)
+            if cfg.stochastic:
+                q_eval = q_eval + noise * jnp.sqrt(dt) * frac
+            return q_eval, psi, prev, dt, st
+
+        zero = jnp.zeros((), q0.dtype)
+        q1, psi1, prev, dt, st1 = substep(q0, state.psi, state.dt_prev,
+                                          zero, True)
+        q2, psi2, prev, dt, st2 = substep(q1, psi1, prev, dt, False)
+
+        p0 = psi2[0]
+        lap0 = laplacian_g(halo.ghosted_sharded(p0[None], bc), delta)[0]
+        ke = halo.psum2(-jnp.sum(0.5 * p0 * lap0)) * delta ** 2
+
+        new = m.QGState(q=q2, psi=psi2, t=state.t + dt, dt_prev=prev,
+                        i=state.i + 1, key=key, tracers=None,
+                        qof=state.qof, nbar=state.nbar)
+        diag = m.StepDiag(dt=dt, ke=ke, mg_iters=st1.iters, mg_res=st1.resa)
+        return new, diag
+
+    state_specs = tree_specs(state_example, my, mx)
+    const_specs = tree_specs(const_example, my, mx)
+    diag_specs = jax.tree.map(lambda _: P(), m.StepDiag(
+        dt=0.0, ke=0.0, mg_iters=0, mg_res=0.0))
+
+    step = shard_map(local_step, mesh=mesh,
+                     in_specs=(state_specs, const_specs, P()),
+                     out_specs=(state_specs, diag_specs),
+                     check_rep=False)
+
+    def place(tree):
+        specs = tree_specs(tree, my, mx)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, specs)
+
+    return jax.jit(step), place
