@@ -223,3 +223,74 @@ def tracer_ics(N, nl, nptr, L0, kind="bands"):
             out[:, nt] = np.exp(-((X - L0 / 2) ** 2 + (Y - L0 / 2) ** 2)
                                 / (L0 / 10) ** 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# QG linear stability of a mean state (mspg/scripts/linearmode.py)
+# ---------------------------------------------------------------------------
+
+def stretching_matrix_dim(dh, gp, f0):
+    """Dimensional QG stretching operator Gamma such that the stretching part
+    of PV is (Gamma psi)_l = f0^2/dh_l [(psi_{l+1}-psi_l)/gp_l
+    + (psi_{l-1}-psi_l)/gp_{l-1}] (the `construct_mat` the reference's
+    linearmode.py imports from its external def_radius module returns
+    -Gamma, linearmode.py:144-146 p2q = -mata - k^2)."""
+    dh = np.asarray(dh, np.float64)
+    gp = np.asarray(gp, np.float64)
+    nl = len(dh)
+    G = np.zeros((nl, nl))
+    for l in range(nl):
+        if l < nl - 1:
+            c = f0 ** 2 / (dh[l] * gp[l])
+            G[l, l + 1] += c
+            G[l, l] -= c
+        if l > 0:
+            c = f0 ** 2 / (dh[l] * gp[l - 1])
+            G[l, l - 1] += c
+            G[l, l] -= c
+    return G
+
+
+def qg_linear_stability(dh, gp, f0, dpsibdx, dpsibdy, k, l, *, beta=0.0,
+                        nu=0.0, nu4=0.0, bf=0.0):
+    """Local QG linear stability of a sheared mean state at wavenumber
+    (k, l): the generalized eigenproblem of linearmode.py:162-181,
+
+        [diag(k dqby - l dqbx - (k2^2 nu + k2^3 nu4) - k2 bf e_bot)
+         + diag(l dpsibdx - k dpsibdy) (Gamma - k2 I)] v = omega (Gamma-k2 I) v
+
+    with dqb = Gamma dpsib + beta (flag_gradqbar == 0 form,
+    linearmode.py:141-160). Returns the complex frequencies omega (rad/s);
+    growth rate = omega.imag. dpsibdx/dpsibdy: (nl,) mean-shear gradients at
+    the chosen point."""
+    import scipy.linalg
+
+    G = stretching_matrix_dim(dh, gp, f0)
+    nl = len(np.asarray(dh))
+    dqbdy = G @ np.asarray(dpsibdy, np.float64) + beta
+    dqbdx = G @ np.asarray(dpsibdx, np.float64)
+    k2 = k ** 2 + l ** 2
+    p2q = G - k2 * np.eye(nl)
+    diag1 = k * dqbdy - l * dqbdx - (k2 ** 2 * nu + k2 ** 3 * nu4)
+    diag1 = np.asarray(diag1, np.float64).copy()
+    diag1[-1] -= k2 * bf
+    diag2 = l * np.asarray(dpsibdx) - k * np.asarray(dpsibdy)
+    mat1 = np.diag(diag1) + np.diag(diag2) @ p2q
+    w = scipy.linalg.eig(mat1, p2q, right=False)
+    return w
+
+
+def qg_growth_rate(dh, gp, f0, dpsibdx, dpsibdy, k_grid, l_grid, **kw):
+    """Max growth rate over a (k, l) grid; returns (sigma_max, k*, l*) —
+    the reference's scipy-optimize + peak_local_max hunt
+    (linearmode.py:241-330) reduced to a deterministic grid scan."""
+    best = (-np.inf, 0.0, 0.0)
+    for k in np.atleast_1d(k_grid):
+        for l in np.atleast_1d(l_grid):
+            if k == 0 and l == 0:
+                continue
+            w = qg_linear_stability(dh, gp, f0, dpsibdx, dpsibdy, k, l, **kw)
+            s = float(np.max(w.imag))
+            if s > best[0]:
+                best = (s, float(k), float(l))
+    return best

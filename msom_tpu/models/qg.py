@@ -472,6 +472,15 @@ def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
     return dtm, prev
 
 
+def time_filter(q, q_mean, dt, tau_f: float = 20.0):
+    """Exponential running mean of the PV (time_filter,
+    /root/reference/msqg/qg.h:491-507; tau_f = 20 hard-coded there; the
+    subtraction line is commented out in the reference, so this only
+    maintains the mean): q_mean <- (1 - dt/tau_f)*q_mean + (dt/tau_f)*q."""
+    alpha = dt / tau_f
+    return (1.0 - alpha) * q_mean + alpha * q
+
+
 def dtnext(t, tnext, dt):
     """Basilisk event scheduling: shrink dt so an integer number of steps
     lands exactly on the next event time (events.h dtnext, TEPS=1e-9)."""
