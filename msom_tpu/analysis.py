@@ -182,6 +182,35 @@ def qg_flux_to_pg_forcing(qof_psi, dh_qg, Fr_over_Ro2_qg, nl_pg,
 
 
 # ---------------------------------------------------------------------------
+# time-mean filtered fields -> PG buoyancy forcing
+# (msqg/scripts/comp_mean_filter.py capability)
+# ---------------------------------------------------------------------------
+
+def mean_filter_forcing(pf_series, dh, Ro):
+    """Time-mean of the wavelet-filtered streamfunction snapshots and the
+    derived buoyancy forcing bf = d(pf_mean)/dz / Ro
+    (comp_mean_filter.py:60-80: bf = diff(pf_me, axis=0)/dhi/Ro with
+    dhi = 0.5 (dh[:-1]+dh[1:])).
+
+    pf_series: (nt, nl, N, N) filtered-psi snapshots (or an iterable of
+    (nl, N, N) arrays); dh: (nl,) layer thicknesses; Ro: scalar or (N, N)
+    Rossby-number field. Returns (pf_mean, bf) with bf shaped (nl-1, N, N)."""
+    it = iter(pf_series)
+    first = np.asarray(next(it), np.float64)
+    acc = first.copy()
+    n = 1
+    for snap in it:
+        acc += np.asarray(snap, np.float64)
+        n += 1
+    pf_me = acc / n
+    dh = np.asarray(dh, np.float64)
+    dhi = 0.5 * (dh[:-1] + dh[1:])
+    Ro = np.asarray(Ro, np.float64)
+    bf = np.diff(pf_me, axis=0) / dhi.reshape(-1, 1, 1) / Ro
+    return pf_me, bf
+
+
+# ---------------------------------------------------------------------------
 # PG stratification -> deformation radii (mspg/scripts/modes.py capability)
 # ---------------------------------------------------------------------------
 

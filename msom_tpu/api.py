@@ -79,6 +79,38 @@ def qg_energy_tendencies(cfg, const, psi):
                 de_vd=acc.de_vd, de_bf=acc.de_bf)
 
 
+def bfn_integrate(cfg, const, var0, nsteps: int, *, direction: float = 1.0,
+                  flag_q: bool = True, nudge_fn=None, dt: float | None = None):
+    """AB3 Back-and-Forth-Nudging integration loop — the capability of the
+    reference's NumPy driver (/root/reference/msqg/qg_bfn.py:62-73), fused
+    into one jitted lax.scan instead of a Python loop over a SWIG call.
+
+    var0 is q when flag_q (integration in PV) else psi; nudge_fn(var, i) is
+    added to the instantaneous tendency F1 (the "BFN nudging goes here" hook,
+    qg_bfn.py:66-67). direction=-1 runs the dissipation-flipped backward
+    model. Returns the integrated var after nsteps third-order
+    Adams-Bashforth steps var += dt/12 (23 F1 - 16 F2 + 5 F3)."""
+    if dt is None:
+        dt = cfg.DT
+    q0 = var0 if flag_q else psi_to_q(cfg, const, var0)
+
+    def tend(q, i):
+        F1 = qg_tendency(cfg, const, q, direction)
+        if nudge_fn is not None:
+            F1 = F1 + nudge_fn(q, i)
+        return F1
+
+    def body(carry, i):
+        q, F2, F3 = carry
+        F1 = tend(q, i)
+        q = q + dt / 12.0 * (23.0 * F1 - 16.0 * F2 + 5.0 * F3)
+        return (q, F1, F2), None
+
+    z = jnp.zeros_like(q0)
+    (q, _, _), _ = jax.lax.scan(body, (q0, z, z), jnp.arange(nsteps))
+    return q if flag_q else q_to_psi(cfg, const, q)
+
+
 # ---------------------------------------------------------------------------
 # mspg: flat-vector tendency + steady-state / continuation solver
 # ---------------------------------------------------------------------------

@@ -17,3 +17,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The suite is dominated by XLA:CPU compile time (every test jits fresh
+# programs); dialing back backend optimization cuts wall time ~2.5x without
+# changing results (tests compare against NumPy at tight tolerances).
+jax.config.update("jax_disable_most_optimizations", True)

@@ -67,6 +67,55 @@ def test_ab3_bfn_loop():
     assert np.isfinite(np.asarray(q)).all()
 
 
+def test_bfn_integrate_matches_manual_ab3():
+    """api.bfn_integrate's fused scan reproduces the hand-rolled AB3 loop
+    with zero-initialized history (qg_bfn.py:49-56 starts F2=F3=0)."""
+    cfg = qg_cfg()
+    const = m.build_constants(cfg)
+    state = m.init_state(cfg, const, seed=3)
+    q = state.q
+    dt = 1e-2
+    got = api.bfn_integrate(cfg, const, q, 4, dt=dt)
+    tend_fn = jax.jit(lambda q: api.qg_tendency(cfg, const, q))
+    F2 = jnp.zeros_like(q)
+    F3 = jnp.zeros_like(q)
+    for _ in range(4):
+        F1 = tend_fn(q)
+        q = q + dt / 12 * (23 * F1 - 16 * F2 + 5 * F3)
+        F3, F2 = F2, F1
+    np.testing.assert_allclose(np.asarray(got), np.asarray(q),
+                               rtol=1e-10, atol=1e-14)
+
+
+def test_bfn_integrate_psi_space_and_nudging():
+    cfg = qg_cfg(tol=1e-9)
+    const = m.build_constants(cfg)
+    state = m.init_state(cfg, const, seed=4)
+    psi = api.q_to_psi(cfg, const, state.q)
+    # nudging toward zero: stronger damping should give smaller fields
+    out_free = api.bfn_integrate(cfg, const, psi, 3, flag_q=False, dt=1e-2)
+    out_nudge = api.bfn_integrate(
+        cfg, const, psi, 3, flag_q=False, dt=1e-2,
+        nudge_fn=lambda q, i: -5.0 * q)
+    assert np.isfinite(np.asarray(out_free)).all()
+    assert np.isfinite(np.asarray(out_nudge)).all()
+    assert not np.allclose(np.asarray(out_free), np.asarray(out_nudge))
+
+
+def test_mean_filter_forcing():
+    nl, N = 3, 8
+    rng = np.random.default_rng(0)
+    snaps = rng.standard_normal((5, nl, N, N))
+    dh = np.array([0.2, 0.3, 0.5])
+    Ro = 0.025
+    pf_me, bf = analysis.mean_filter_forcing(snaps, dh, Ro)
+    np.testing.assert_allclose(pf_me, snaps.mean(0), rtol=1e-12)
+    dhi = 0.5 * (dh[:-1] + dh[1:])
+    want = np.diff(snaps.mean(0), axis=0) / dhi.reshape(-1, 1, 1) / Ro
+    np.testing.assert_allclose(bf, want, rtol=1e-12)
+    assert bf.shape == (nl - 1, N, N)
+
+
 def test_pg_steady_state_small():
     """Newton-Krylov steady state of a small PG config (the pg_trilinos
     capability). Like the reference's continuation driver, the solver needs
