@@ -99,10 +99,20 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
         state, diag = step(state, const, jnp.asarray(tnext, state.t.dtype))
         t = float(state.t)
         i = int(state.i)
+        # NaN guard (SURVEY.md §5.3): a CFL/ke NaN propagates into t within
+        # one step; fail loudly instead of integrating garbage to tend.
+        if t != t:
+            raise FloatingPointError(
+                f"non-finite model time after step {i}: blow-up or NaN in "
+                "the state (check DT/CFL; resume from the last checkpoint)")
         if energy is not None:
             energy = energy_tend_j(energy, state.psi, diag.dt)
         if hooks.on_log is not None and i % log_every == 0:
-            hooks.on_log(i, float(diag.dt), t, float(diag.ke))
+            ke = float(diag.ke)
+            if ke != ke:
+                raise FloatingPointError(
+                    f"non-finite kinetic energy at step {i} (t={t:g})")
+            hooks.on_log(i, float(diag.dt), t, ke)
         if max_steps is not None and i >= max_steps:
             break
 
@@ -136,6 +146,10 @@ def run_pg(cfg, *, const=None, state=None, hooks: RunHooks = None,
         state, diag = step(state, const, jnp.asarray(tnext, state.t.dtype))
         t = float(state.t)
         i = int(state.i)
+        if t != t:  # NaN guard, see run_qg
+            raise FloatingPointError(
+                f"non-finite model time after step {i}: blow-up or NaN in "
+                "the state (check DT/CFL; resume from the last checkpoint)")
         if i % 10 == 0:
             state = mspg.accumulate_means(state)
         if hooks.on_log is not None:
