@@ -57,13 +57,14 @@ class QGConstants:
     idh0: tuple                # hashable: pytree metadata
     idh1: tuple
     rhsk: Any = None           # pallas_rhs.RhsKernelData fast path (or None)
+    spec: Any = None           # spectral.SpectralData direct inversion (or None)
 
 
 jax.tree_util.register_dataclass(
     QGConstants,
     data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
                  "wind", "s_stoch", "ptr_relax", "sig_lev", "iBu", "l2m",
-                 "m2l", "levels", "mlevels", "rhsk"],
+                 "m2l", "levels", "mlevels", "rhsk", "spec"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -226,6 +227,21 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     sig_lev = tuple(jnp.asarray(s_, dt)
                     for s_ in sig_lev_pyramid(sig_filt, cfg.L0))
 
+    # direct spectral inversion (solver="spectral"): exact one-shot modal
+    # DST/FFT solve; valid when strl is spatially uniform (varRo == 0) —
+    # every reference config without a frpg input field
+    spec = None
+    if cfg.solver == "spectral":
+        from msom_tpu.solvers import spectral as spectral_mod
+        if not spectral_mod.applicable(nl, strl):
+            raise ValueError(
+                "solver='spectral' requires spatially-uniform stretching "
+                "(varRo=0, no frpg field); use solver='mg'")
+        sprof_spec = None if strl is None else np.asarray(strl)[:, 0, 0]
+        spec = spectral_mod.build_spectral(
+            nl=nl, N=N, L0=cfg.L0, dh=dh, s_profile=sprof_spec,
+            periodic=(cfg.sbc == -1), dtype=dt)
+
     # fused Pallas RHS fast path (free-slip, uncoupled, y-profile coeffs)
     rhsk = None
     if cfg.sbc == 0.0 and not cfg.stochastic:
@@ -251,7 +267,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
         sig_lev=sig_lev, iBu=iBu, l2m=l2m, m2l=m2l, levels=levels,
         mlevels=mlevels, idh0=tuple(float(v) for v in idh0),
-        idh1=tuple(float(v) for v in idh1), rhsk=rhsk)
+        idh1=tuple(float(v) for v in idh1), rhsk=rhsk, spec=spec)
 
 
 def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:
@@ -269,7 +285,17 @@ def invert_q(cfg: QGConfig, const: QGConstants, psi_guess, q):
     The modal path (MODE_PV_INVERT, :116-157) projects q onto vertical modes
     with a batched matmul, solves nl INDEPENDENT 2-D Helmholtz problems in
     one batched multigrid (no vertical coupling -> the line solver
-    degenerates to a diagonal), and projects back."""
+    degenerates to a diagonal), and projects back.
+
+    The spectral path (solver="spectral") solves the same discrete system
+    exactly in one shot — see solvers/spectral.py — so iters=0 and the
+    reported residual is 0 by construction."""
+    if const.spec is not None:
+        from msom_tpu.solvers import spectral as spectral_mod
+        psi = spectral_mod.solve_spectral(const.spec, q)
+        z = jnp.zeros((), q.dtype)
+        return psi, mg.MGStats(iters=jnp.zeros((), jnp.int32), resb=z,
+                               resa=z, nrelax=jnp.zeros((), jnp.int32))
     if cfg.mode_pv_invert and const.iBu is not None:
         from msom_tpu.ops import modes as modes_mod
         vm = modes_mod.VerticalModes(l2m=const.l2m, m2l=const.m2l,

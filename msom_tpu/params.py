@@ -90,6 +90,9 @@ class QGConfig:
     # numerics
     tol: float = 1e-3        # PV-inversion tolerance (msqg/qg.h:159)
     mode_pv_invert: bool = False  # modal inversion path (msqg/qg.h:4,109-157)
+    solver: str = "mg"       # PV inversion: "mg" (reference-parity multigrid)
+    #                          or "spectral" (exact direct modal DST/FFT solve,
+    #                          requires spatially-uniform strl; solvers/spectral.py)
     dtype: str = "float32"
 
     # ----- derived (read-only properties) -----

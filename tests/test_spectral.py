@@ -1,0 +1,135 @@
+"""Tests for the direct spectral PV inversion (solvers/spectral.py).
+
+Validates the DST-II construction against the explicit sine matrix, checks
+that the transform diagonalizes the model's discrete Dirichlet Laplacian,
+verifies the layered solve leaves machine-precision residuals in the SAME
+discrete system the multigrid solves, and checks trajectory equivalence of
+solver="spectral" vs solver="mg" on the msqg model.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msom_tpu.ops.bc import BC
+from msom_tpu.ops.ghost import ghosted, laplacian_g
+from msom_tpu.ops.stretch import layer_metrics, stretch
+from msom_tpu.solvers import spectral as sp
+
+
+def test_dst2_matches_sine_matrix():
+    N = 16
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(N)
+    out = np.asarray(sp.dst2(jnp.asarray(x), -1))
+    k = np.arange(1, N + 1)
+    i = np.arange(N)
+    M = np.sin(np.pi * np.outer(k, i + 0.5) / N)
+    ref = M @ x
+    # per-mode normalization differs (ortho DCT scaling); direction must match
+    ratio = out / ref
+    assert np.allclose(ratio[:-1], ratio[0])          # uniform for k<N
+    assert np.allclose(np.asarray(sp.idst2(sp.dst2(jnp.asarray(x), -1), -1)),
+                       x, atol=1e-12)
+
+
+def test_dst2_diagonalizes_dirichlet_laplacian():
+    N, L0 = 32, 2.0
+    h = L0 / N
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((1, N, N)))
+    lap = laplacian_g(ghosted(a, BC.DIRICHLET), h)
+    A = sp.dst2(sp.dst2(a, -1), -2)
+    LapA = sp.dst2(sp.dst2(lap, -1), -2)
+    k = np.arange(1, N + 1)
+    lam = -(4.0 / h ** 2) * np.sin(np.pi * k / (2 * N)) ** 2
+    expect = (lam[None, :, None] + lam[None, None, :]) * np.asarray(A)
+    assert np.allclose(np.asarray(LapA), expect, atol=1e-9 / h ** 2)
+
+
+@pytest.mark.parametrize("bc", [BC.DIRICHLET, BC.PERIODIC])
+@pytest.mark.parametrize("nl", [1, 3])
+def test_solve_layered_exact(bc, nl):
+    N, L0 = 32, 3.0
+    h = L0 / N
+    dh = np.array([0.2, 0.3, 0.5])[:nl] if nl > 1 else np.array([1.0])
+    dh = dh / dh.sum()
+    s_profile = np.array([12.0, 30.0])[:nl - 1] if nl > 1 else None
+    _, idh0, idh1 = layer_metrics(dh)
+    data = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=s_profile,
+                             periodic=(bc is BC.PERIODIC), dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    # manufacture q = L(psi_true) so q is in the operator's range
+    psi_true = jnp.asarray(rng.standard_normal((nl, N, N)))
+    q = laplacian_g(ghosted(psi_true, bc), h)
+    if nl > 1:
+        strl = jnp.asarray(np.broadcast_to(
+            s_profile[:, None, None], (nl - 1, N, N)))
+        q = q + stretch(psi_true, strl, idh0, idh1)
+    psi = sp.solve_spectral(data, q)
+    # residual of the solve in the SAME discrete operator
+    res = laplacian_g(ghosted(psi, bc), h)
+    if nl > 1:
+        res = res + stretch(psi, strl, idh0, idh1)
+    assert np.allclose(np.asarray(res), np.asarray(q), atol=1e-8 / h ** 2)
+    # solution matches up to the operator's null space (periodic: uniform
+    # barotropic shift)
+    p, pt = np.asarray(psi), np.asarray(psi_true)
+    if bc is BC.PERIODIC:
+        p, pt = p - p.mean(), pt - pt.mean()
+    assert np.allclose(p, pt, atol=1e-9)
+
+
+def test_spectral_agrees_with_multigrid():
+    from msom_tpu.solvers import mg
+    N, L0, nl = 32, 3.0, 3
+    dh = np.array([0.2, 0.3, 0.5])
+    s_profile = np.array([12.0, 30.0])
+    _, idh0, idh1 = layer_metrics(dh)
+    strl = jnp.asarray(np.broadcast_to(s_profile[:, None, None],
+                                       (nl - 1, N, N)))
+    rng = np.random.default_rng(3)
+    psi_true = jnp.asarray(rng.standard_normal((nl, N, N)))
+    q = laplacian_g(ghosted(psi_true, BC.DIRICHLET), L0 / N) \
+        + stretch(psi_true, strl, idh0, idh1)
+    data = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=s_profile,
+                             periodic=False, dtype=jnp.float64)
+    p_spec = sp.solve_spectral(data, q)
+    p_mg, st = mg.solve_layered(jnp.zeros_like(q), q, L0=L0, s=strl,
+                                idh0=idh0, idh1=idh1, bc=BC.DIRICHLET,
+                                tolerance=1e-10)
+    assert np.allclose(np.asarray(p_spec), np.asarray(p_mg), atol=1e-7)
+
+
+@pytest.mark.parametrize("sbc", [0.0, -1.0])
+def test_model_trajectory_spectral_vs_mg(sbc):
+    from msom_tpu.models import qg as m
+    from msom_tpu.params import QGConfig
+
+    base = dict(N=32, nl=3, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
+                Re4=1563, beta=0.5, Fr=(0.0023669, 0.0076173),
+                dh=(0.06, 0.14, 0.8), DT=5e-2, tend=500.0, dtout=1.0,
+                CFL=0.6, sbc=sbc, dtype="float64")
+    traj = {}
+    for solver, tol in (("mg", 1e-11), ("spectral", 1e-3)):
+        cfg = QGConfig(solver=solver, tol=tol, **base).validate()
+        const = m.build_constants(cfg)
+        state = m.init_state(cfg, const, seed=0)
+        step = m.make_step(cfg)
+        for _ in range(10):
+            state, diag = step(state, const, jnp.asarray(1e18, state.t.dtype))
+        traj[solver] = (np.asarray(state.q), np.asarray(state.psi),
+                        float(diag.ke))
+    assert np.allclose(traj["mg"][0], traj["spectral"][0], rtol=1e-6,
+                       atol=1e-9)
+    assert np.allclose(traj["mg"][2], traj["spectral"][2], rtol=1e-6)
+
+
+def test_spectral_rejects_varying_stratification():
+    from msom_tpu.models import qg as m
+    from msom_tpu.params import QGConfig
+    cfg = QGConfig(N=16, nl=2, L0=80, Rom=0.025, beta=0.5, varRo=1,
+                   Fr=(0.003,), dh=(0.5, 0.5), solver="spectral",
+                   dtype="float64").validate()
+    with pytest.raises(ValueError, match="spectral"):
+        m.build_constants(cfg)
