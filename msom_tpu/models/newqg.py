@@ -48,6 +48,7 @@ class NewQGConfig:
     CFL: float = 0.5
     TOLERANCE: float = 1e-5
     dtype: str = "float64"
+    solver: str = "mg"       # "mg" or "spectral" (exact direct, constant lam)
 
     @property
     def delta(self):
@@ -149,10 +150,25 @@ def make_step(cfg: NewQGConfig):
                  * jnp.cos(2 * jnp.pi * t / 5.0)
                  * jnp.exp(-((X - cfg.L0 / 2) ** 2) / 5.0))
 
+    spec = None
+    if cfg.solver == "spectral":
+        # layers are uncoupled with a constant per-layer Helmholtz
+        # coefficient -> the direct solve applies verbatim
+        from msom_tpu.solvers import spectral as spectral_mod
+        lam_vec = np.zeros(cfg.nl)
+        lam_vec[cfg.nl - 1] = cfg.iRd2_low
+        spec = spectral_mod.build_spectral(
+            nl=cfg.nl, N=cfg.N, L0=cfg.L0, lam=lam_vec,
+            periodic=(cfg.sbc == -1), dtype=dtp)
+
     def update(q, psi_guess, prev, t):
-        psi, st = mg.solve_layered(psi_guess, q, L0=cfg.L0, s=None, lam=lam,
-                                   bc=bc, tolerance=cfg.TOLERANCE,
-                                   levels=levels)
+        if spec is not None:
+            from msom_tpu.solvers import spectral as spectral_mod
+            psi = spectral_mod.solve_spectral(spec, q)
+        else:
+            psi, st = mg.solve_layered(psi_guess, q, L0=cfg.L0, s=None,
+                                       lam=lam, bc=bc,
+                                       tolerance=cfg.TOLERANCE, levels=levels)
         psi_pad = pad(psi, bc)
         zeta = laplacian(psi_pad, cfg.delta)
         if cfg.sbc == -1:

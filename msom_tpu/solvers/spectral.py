@@ -84,14 +84,21 @@ def idst2(X: jnp.ndarray, axis: int) -> jnp.ndarray:
     return z * s
 
 
-def build_spectral(*, nl: int, N: int, L0: float, dh, s_profile,
-                   periodic: bool, dtype) -> SpectralData:
+def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
+                   lam=None, periodic: bool, dtype) -> SpectralData:
     """Precompute the modal inverse denominators.
 
-    s_profile: (nl-1,) uniform stretching values (Fr/Ro)^2, or None for nl=1.
+    Either s_profile — (nl-1,) uniform stretching values (Fr/Ro)^2, vertical
+    coupling diagonalized via eigmod — or lam: (nl,) explicit per-layer
+    Helmholtz coefficients for already-decoupled layers (e.g. newqg's
+    -iRd2_low, /root/reference/newqg/qg.h:148-157). nl=1 with neither is the
+    plain Poisson case.
     """
     h = L0 / N
-    if nl > 1:
+    if lam is not None:
+        iBu = np.asarray(lam, np.float64).reshape(nl)
+        l2m = m2l = None
+    elif nl > 1:
         from msom_tpu.ops import modes as modes_mod
         vm = modes_mod.eigmod(np.asarray(dh, np.float64)[:nl],
                               np.asarray(s_profile, np.float64))

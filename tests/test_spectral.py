@@ -125,6 +125,25 @@ def test_model_trajectory_spectral_vs_mg(sbc):
     assert np.allclose(traj["mg"][2], traj["spectral"][2], rtol=1e-6)
 
 
+def test_newqg_spectral_vs_mg():
+    import dataclasses
+    from msom_tpu.models import newqg as nm
+
+    base = nm.NewQGConfig(N=32, nl=2, L0=1.0, f0=10.0, beta=2.0, hEkb=1e-3,
+                          tau0=1e-3, nu=1e-5, gp_low=0.1, dh=(0.5, 0.5),
+                          DT=1e-2, CFL=0.5, TOLERANCE=1e-12, dtype="float64")
+    traj = {}
+    for solver in ("mg", "spectral"):
+        cfg = dataclasses.replace(base, solver=solver)
+        _, lam = nm.build_levels(cfg)
+        state = nm.init_state(cfg, lam, seed=1)
+        step = nm.make_step(cfg)
+        for _ in range(10):
+            state, diag = step(state, jnp.asarray(1e18, state.t.dtype))
+        traj[solver] = np.asarray(state.q)
+    assert np.allclose(traj["mg"], traj["spectral"], rtol=1e-7, atol=1e-12)
+
+
 def test_spectral_rejects_varying_stratification():
     from msom_tpu.models import qg as m
     from msom_tpu.params import QGConfig
