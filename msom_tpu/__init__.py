@@ -13,7 +13,6 @@ structural map of the reference and how each capability is re-designed here.
 
 __version__ = "0.1.0"
 
-from msom_tpu.domain import Grid
 from msom_tpu.ops.bc import BC
 
-__all__ = ["Grid", "BC", "__version__"]
+__all__ = ["BC", "__version__"]

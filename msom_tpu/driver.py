@@ -194,16 +194,30 @@ class OutputWriter:
         self._backup_config()
 
     def _backup_config(self):
+        """Write the actually-used derived fields, matching backup_config
+        (/root/reference/msqg/qg.h:782-835): sig_filt = min(afilt*Rd, Lfmax),
+        Rd, psipg, frpg (recovered from strl = (Fr/Ro)^2), qforc, topo, dh."""
         from msom_tpu.io.bas import write_bas
 
         cfg, const = self.cfg, self.const
         import numpy as np
-        sig_filt = np.minimum(cfg.afilt * np.ones((cfg.N, cfg.N)), cfg.Lfmax)
-        write_bas(f"{self.dir}/sig_filt.bas", sig_filt, cfg.L0)
+        write_bas(f"{self.dir}/sig_filt.bas", np.asarray(const.sig_filt),
+                  cfg.L0)
+        write_bas(f"{self.dir}/rdpg_{cfg.nl}l_N{cfg.N}.bas",
+                  np.asarray(const.Rd), cfg.L0)
         pp = (np.zeros((cfg.nl, cfg.N, cfg.N), np.float32)
               if const.pp_pad is None
               else np.asarray(const.pp_pad)[:, 1:-1, 1:-1])
         write_bas(f"{self.dir}/psipg_{cfg.nl}l_N{cfg.N}.bas", pp, cfg.L0)
+        if const.strl is not None:
+            Fr = np.sqrt(np.asarray(const.strl)) * np.asarray(const.Ro)
+            write_bas(f"{self.dir}/frpg_{cfg.nl}l_N{cfg.N}.bas", Fr, cfg.L0)
+        if const.qforc is not None:
+            write_bas(f"{self.dir}/qforc_{cfg.nl}l_N{cfg.N}.bas",
+                      np.asarray(const.qforc), cfg.L0)
+        if const.topo_pad is not None:
+            write_bas(f"{self.dir}/topo_N{cfg.N}.bas",
+                      np.asarray(const.topo_pad)[1:-1, 1:-1], cfg.L0)
         np.asarray(cfg.dh[:cfg.nl], np.float32).tofile(
             f"{self.dir}/dh_{cfg.nl}l.bin")
 

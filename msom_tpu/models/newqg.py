@@ -50,6 +50,11 @@ class NewQGConfig:
     dtype: str = "float64"
     solver: str = "mg"       # "mg" or "spectral" (exact direct, constant lam)
 
+    def __post_init__(self):
+        if self.solver not in ("mg", "spectral"):
+            raise ValueError(f"solver={self.solver!r}: must be 'mg' or "
+                             "'spectral'")
+
     @property
     def delta(self):
         return self.L0 / self.N
@@ -100,13 +105,22 @@ def _bc(cfg):
     return BC.PERIODIC if cfg.sbc == -1 else BC.DIRICHLET
 
 
+def lam_per_layer(cfg: NewQGConfig) -> np.ndarray:
+    """(nl,) Helmholtz coefficient vector: -1/Rd^2 in the bottom layer only
+    (/root/reference/newqg/qg.h:148-157,174-178). Single source for both the
+    multigrid coefficient field and the spectral denominators."""
+    lam_vec = np.zeros(cfg.nl)
+    lam_vec[cfg.nl - 1] = cfg.iRd2_low
+    return lam_vec
+
+
 def build_levels(cfg: NewQGConfig):
     """Helmholtz coefficient only in the bottom layer (qg.h:174-178)."""
     dt = jnp.dtype(cfg.dtype)
     lam = None
     if cfg.iRd2_low != 0.0:
-        lam_np = np.zeros((cfg.nl, cfg.N, cfg.N))
-        lam_np[cfg.nl - 1] = cfg.iRd2_low
+        lam_np = np.broadcast_to(lam_per_layer(cfg)[:, None, None],
+                                 (cfg.nl, cfg.N, cfg.N))
         lam = jnp.asarray(lam_np, dt)
     return mg.build_layered_coeffs(nl=cfg.nl, N=cfg.N, L0=cfg.L0, s=None,
                                    lam=lam, dtype=dt), lam
@@ -155,15 +169,12 @@ def make_step(cfg: NewQGConfig):
         # layers are uncoupled with a constant per-layer Helmholtz
         # coefficient -> the direct solve applies verbatim
         from msom_tpu.solvers import spectral as spectral_mod
-        lam_vec = np.zeros(cfg.nl)
-        lam_vec[cfg.nl - 1] = cfg.iRd2_low
         spec = spectral_mod.build_spectral(
-            nl=cfg.nl, N=cfg.N, L0=cfg.L0, lam=lam_vec,
+            nl=cfg.nl, N=cfg.N, L0=cfg.L0, lam=lam_per_layer(cfg),
             periodic=(cfg.sbc == -1), dtype=dtp)
 
     def update(q, psi_guess, prev, t):
         if spec is not None:
-            from msom_tpu.solvers import spectral as spectral_mod
             psi = spectral_mod.solve_spectral(spec, q)
         else:
             psi, st = mg.solve_layered(psi_guess, q, L0=cfg.L0, s=None,

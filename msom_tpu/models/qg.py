@@ -58,13 +58,16 @@ class QGConstants:
     idh1: tuple
     rhsk: Any = None           # pallas_rhs.RhsKernelData fast path (or None)
     spec: Any = None           # spectral.SpectralData direct inversion (or None)
+    sig_filt: Any = None       # (N, N) wavelet cutoff min(afilt*Rd, Lfmax)
+    Rd: Any = None             # (N, N) deformation radius used for sig_filt
 
 
 jax.tree_util.register_dataclass(
     QGConstants,
     data_fields=["pp_pad", "zetap_pad", "strl", "Ro", "topo_pad", "qforc",
                  "wind", "s_stoch", "ptr_relax", "sig_lev", "iBu", "l2m",
-                 "m2l", "levels", "mlevels", "rhsk", "spec"],
+                 "m2l", "levels", "mlevels", "rhsk", "spec", "sig_filt",
+                 "Rd"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -267,7 +270,8 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         ptr_relax=None if ptr_relax is None else jnp.asarray(ptr_relax, dt),
         sig_lev=sig_lev, iBu=iBu, l2m=l2m, m2l=m2l, levels=levels,
         mlevels=mlevels, idh0=tuple(float(v) for v in idh0),
-        idh1=tuple(float(v) for v in idh1), rhsk=rhsk, spec=spec)
+        idh1=tuple(float(v) for v in idh1), rhsk=rhsk, spec=spec,
+        sig_filt=jnp.asarray(sig_filt, dt), Rd=jnp.asarray(Rd, dt))
 
 
 def comp_q(cfg: QGConfig, const: QGConstants, psi: jnp.ndarray) -> jnp.ndarray:

@@ -132,6 +132,9 @@ class QGConfig:
         return DT
 
     def validate(self):
+        if self.solver not in ("mg", "spectral"):
+            raise ValueError(f"solver={self.solver!r}: must be 'mg' or "
+                             "'spectral'")
         if self.Rom <= 0:
             raise ValueError("Rom <= 0: aborting (msqg/qg.h:1009-1012)")
         if len(self.dh) < self.nl or any(d == 0 for d in self.dh[:self.nl]):
