@@ -2,14 +2,23 @@
 
 Runs the flagship 2048^2 x 4-layer multi-layer QG configuration (BASELINE.md
 north-star metric) as a lax.scan of full predictor-corrector steps (PV
-inversion multigrid included) and prints ONE JSON line:
+inversion included) and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "grid-points/s/chip", "vs_baseline": r}
 
-vs_baseline compares against BASELINE_PTS_PER_S, an estimate of the
-reference's documented deployment scale (mpirun -np 16, msqg/qg.c:14): ~1e7
-cell-updates/s/core for the ~10-Jacobian + multigrid workload x 16 ranks
-= 1.6e8 pts/s. The reference publishes no numbers (BASELINE.md), so this
-estimate is the documented stand-in.
+Both production solvers are measured and recorded in the same line:
+  * spectral — exact direct modal inversion, DST as MXU matmuls
+    (solvers/spectral.py); the headline `value` (fastest path).
+  * mg       — the reference-parity multigrid at tol=1e-3 with the fused
+    Pallas kernels (wall_s_per_step_mg); trajectory-equivalent to the
+    reference's poisson_layer solve. --all adds the pure-XLA mg lowering.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md), so the
+denominator BASELINE_PTS_PER_S = 1.6e8 is an ESTIMATE of its documented
+deployment scale (mpirun -np 16, msqg/qg.c:14, at ~1e7 cell-updates/s/core
+for the ~10-Jacobian + multigrid workload). `baseline_is_estimate: true` is
+recorded in the JSON; the ratio must not be read as a measured speedup over
+the reference binary. Per-phase device timings + roofline accounting live in
+PERF.md (tools/perf_phases.py).
 """
 
 import argparse
@@ -20,8 +29,8 @@ import time
 import jax
 
 # Persistent compilation cache: compile of the 2048^2 scan through the remote
-# TPU tunnel dominates wall time (~7 min measured for the 512^2 variant);
-# cache it on disk so repeat runs (including the driver's) start instantly.
+# TPU tunnel dominates wall time (~minutes); cache it on disk so repeat runs
+# (including the driver's) start instantly.
 os.makedirs("/root/repo/.jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -29,17 +38,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
 
-BASELINE_PTS_PER_S = 1.6e8
+BASELINE_PTS_PER_S = 1.6e8   # ESTIMATE, see module docstring
 
 
 def build(N, nl, dtype, tol, solver="spectral"):
     from msom_tpu.models import qg as m
     from msom_tpu.params import QGConfig
 
-    # 4-layer variant of the Verron double-gyre scaled to N. The PV inversion
-    # defaults to the direct spectral solve (solvers/spectral.py): exact to
-    # roundoff — strictly tighter than the reference's multigrid at tol=1e-3
-    # (msqg/qg.h:159) — and faster; --solver mg benches the multigrid path.
+    # 4-layer variant of the Verron double-gyre scaled to N.
     cfg = QGConfig(N=N, nl=nl, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
                    Re4=1563 * (N / 256) ** 3, beta=0.5,
                    Fr=tuple([0.003] * (nl - 1)),
@@ -59,46 +65,74 @@ def build(N, nl, dtype, tol, solver="spectral"):
     return cfg, const, state, jax.jit(chunk, static_argnums=2)
 
 
+def measure(N, nl, dtype, tol, solver, steps, pallas_env=None):
+    """Wall seconds per step for one solver configuration."""
+    if pallas_env is not None:
+        os.environ["MSOM_PALLAS"] = pallas_env
+    try:
+        cfg, const, state, chunk = build(N, nl, dtype, tol, solver)
+        # warmup + compile (same static step count as the timed call); the
+        # timed call runs on the evolved state so no request is a
+        # byte-identical repeat (the axon tunnel memoizes identical
+        # computations).
+        state, _ = chunk(state, const, steps)
+        _ = float(state.q[0, 0, 0])
+        t0 = time.time()
+        state, dts = chunk(state, const, steps)
+        # force full materialization: block_until_ready on the axon tunnel
+        # can return before remote completion, a scalar fetch cannot
+        _ = float(state.q[0, 0, 0])
+        return (time.time() - t0) / steps
+    finally:
+        if pallas_env is not None:
+            os.environ.pop("MSOM_PALLAS", None)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--N", type=int, default=2048)
     p.add_argument("--nl", type=int, default=4)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=40,
+                   help="steps per timed chunk (one ~25 ms tunnel round-trip "
+                        "is amortized across the chunk)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--tol", type=float, default=1e-3)
-    p.add_argument("--solver", default="spectral", choices=["spectral", "mg"])
+    p.add_argument("--solver", default="both",
+                   choices=["spectral", "mg", "both"])
+    p.add_argument("--all", action="store_true",
+                   help="also bench the pure-XLA mg lowering")
     args = p.parse_args()
     if args.quick:
         args.N, args.steps = 512, 10
 
-    cfg, const, state, chunk = build(args.N, args.nl, args.dtype, args.tol,
-                                     args.solver)
+    walls = {}
+    if args.solver in ("spectral", "both"):
+        walls["spectral"] = measure(args.N, args.nl, args.dtype, args.tol,
+                                    "spectral", args.steps)
+    if args.solver in ("mg", "both"):
+        walls["mg"] = measure(args.N, args.nl, args.dtype, args.tol,
+                              "mg", args.steps)
+    if args.all:
+        walls["mg_xla"] = measure(args.N, args.nl, args.dtype, args.tol,
+                                  "mg", args.steps, pallas_env="0")
 
-    # warmup + compile (same static step count as the timed call); the timed
-    # call runs on the evolved state so no request is a byte-identical repeat
-    # (the axon tunnel memoizes identical computations).
-    state, _ = chunk(state, const, args.steps)
-    _ = float(state.q[0, 0, 0])
-
-    t0 = time.time()
-    state, dts = chunk(state, const, args.steps)
-    # force full materialization: block_until_ready on the axon tunnel can
-    # return before remote completion, a scalar fetch cannot
-    _ = float(state.q[0, 0, 0])
-    wall = time.time() - t0
-
-    pts = args.N * args.N * args.nl * args.steps
-    value = pts / wall
-    print(json.dumps({
+    best_solver = min(walls, key=walls.get)
+    pts = args.N * args.N * args.nl
+    value = pts / walls[best_solver]
+    out = {
         "metric": f"msqg {args.N}^2 x {args.nl}-layer grid-points/s/chip",
         "value": value,
         "unit": "grid-points/s/chip",
         "vs_baseline": value / BASELINE_PTS_PER_S,
-        "wall_s_per_step": wall / args.steps,
-        "solver": args.solver,
+        "baseline_is_estimate": True,
+        "solver": best_solver,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    for k, w in walls.items():
+        out[f"wall_s_per_step_{k}"] = w
+        out[f"pts_per_s_{k}"] = pts / w
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -174,24 +174,34 @@ class OutputWriter:
     def __init__(self, cfg, const, outdir=None, params_text=None):
         import os
 
+        from msom_tpu.parallel import dist
+
         self.cfg = cfg
         self.const = const
+        # outdir creation + all backups happen on process 0 only and the
+        # name is broadcast — the reference's pid()==0 mkdir + MPI_Bcast
+        # (/root/reference/msqg/qg.h:766-780)
         if outdir is None:
-            for k in range(1, 10000):
-                cand = f"outdir_{k:04d}"
-                try:
-                    os.makedirs(cand)
-                    outdir = cand
-                    break
-                except FileExistsError:
-                    continue
-        else:
+            if dist.is_master():
+                for k in range(1, 10000):
+                    cand = f"outdir_{k:04d}"
+                    try:
+                        os.makedirs(cand)
+                        outdir = cand
+                        break
+                    except FileExistsError:
+                        continue
+            outdir = dist.broadcast_str(outdir)
+        elif dist.is_master():
             os.makedirs(outdir, exist_ok=True)
+        dist.sync()
         self.dir = outdir
-        if params_text is not None:
-            with open(f"{self.dir}/params.in", "w") as f:
-                f.write(params_text)
-        self._backup_config()
+        self._master = dist.is_master()
+        if self._master:
+            if params_text is not None:
+                with open(f"{self.dir}/params.in", "w") as f:
+                    f.write(params_text)
+            self._backup_config()
 
     def _backup_config(self):
         """Write the actually-used derived fields, matching backup_config
@@ -223,38 +233,56 @@ class OutputWriter:
 
     def __call__(self, state, t):
         from msom_tpu.io.bas import write_bas
+        from msom_tpu.parallel import dist
         import numpy as np
 
         i = int(state.i)
         cfg = self.cfg
-        write_bas(f"{self.dir}/po{i:09d}.bas", np.asarray(state.psi), cfg.L0)
-        write_bas(f"{self.dir}/qo{i:09d}.bas", np.asarray(state.q), cfg.L0)
+        # device-side work + cross-process gathers happen on EVERY process
+        # (skipping them off-master would deadlock multi-process collectives);
+        # only the file writes below are master-gated
+        psi = dist.fetch_global(state.psi)
+        q = dist.fetch_global(state.q)
+        pf = tr = None
         if state.qof is not None and cfg.dtflt > 0:
             from msom_tpu.models import qg as qgm
-            pf, _ = qgm.invert_q(cfg, self.const,
-                                 jnp.zeros_like(state.qof), state.qof)
-            write_bas(f"{self.dir}/pf{i:09d}.bas", np.asarray(pf), cfg.L0)
+            pf_dev, _ = qgm.invert_q(cfg, self.const,
+                                     jnp.zeros_like(state.qof), state.qof)
+            pf = dist.fetch_global(pf_dev)
         if state.tracers is not None:
-            tr = np.asarray(state.tracers)
+            tr = dist.fetch_global(state.tracers)
+        if not self._master:
+            return
+        write_bas(f"{self.dir}/po{i:09d}.bas", np.asarray(psi), cfg.L0)
+        write_bas(f"{self.dir}/qo{i:09d}.bas", np.asarray(q), cfg.L0)
+        if pf is not None:
+            write_bas(f"{self.dir}/pf{i:09d}.bas", np.asarray(pf), cfg.L0)
+        if tr is not None:
             write_bas(f"{self.dir}/ptr{i:09d}.bas",
-                      tr.reshape(-1, cfg.N, cfg.N), cfg.L0)
+                      np.asarray(tr).reshape(-1, cfg.N, cfg.N), cfg.L0)
 
     def write_energy(self, energy, i):
         """Flush the per-window energy budget fields rescaled by 1/dtout
         (/root/reference/msqg/qg.c:139-166)."""
         from msom_tpu.io.bas import write_bas
+        from msom_tpu.parallel import dist
         import numpy as np
 
         s = 1.0 / self.cfg.dtout
         for name in ("de_bf", "de_vd", "de_j1", "de_j2", "de_j3", "de_ft"):
-            write_bas(f"{self.dir}/{name}{i:09d}.bas",
-                      np.asarray(getattr(energy, name)) * s, self.cfg.L0)
+            field = dist.fetch_global(getattr(energy, name))
+            if self._master:
+                write_bas(f"{self.dir}/{name}{i:09d}.bas",
+                          np.asarray(field) * s, self.cfg.L0)
 
 
-def stdout_hooks(stream=sys.stdout) -> RunHooks:
-    """KE heartbeat matching /root/reference/msqg/qg.c:101-109."""
+def stdout_hooks(stream=None) -> RunHooks:
+    """KE heartbeat matching /root/reference/msqg/qg.c:101-109. The stream
+    is resolved at log time (not def time) so redirections of sys.stdout
+    after import are honored."""
     def log(i, dt, t, ke):
-        print(f"i = {i}, dt = {dt:g}, t = {t:g}, ke_1 = {ke:g}", file=stream)
+        print(f"i = {i}, dt = {dt:g}, t = {t:g}, ke_1 = {ke:g}",
+              file=stream if stream is not None else sys.stdout)
     return RunHooks(on_log=log)
 
 

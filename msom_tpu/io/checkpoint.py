@@ -17,13 +17,18 @@ import numpy as np
 
 
 def save_state(path: str, state) -> None:
+    """Multi-process safe: every process participates in the gather, only
+    process 0 touches the filesystem (the reference's pid()==0 rule)."""
+    from msom_tpu.parallel import dist
+
     leaves = {}
     for f in dataclasses.fields(state):
         v = getattr(state, f.name)
         if v is None:
             continue
-        leaves[f.name] = np.asarray(v)
-    np.savez(path, **leaves)
+        leaves[f.name] = dist.fetch_global(v)
+    if dist.is_master():
+        np.savez(path, **leaves)
 
 
 def load_state(path: str, template):

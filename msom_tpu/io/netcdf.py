@@ -20,11 +20,15 @@ class NCWriter:
     """Append-mode record writer: create_nc + write_nc equivalents."""
 
     def __init__(self, path, var_names, n, nl=None, L0=1.0, x0=0.0, y0=0.0,
-                 vertex=False):
+                 vertex=False, surface_vars=()):
+        """`surface_vars`: names written without the level dimension even
+        when nl is set (e.g. the SQG surface buoyancy bs, a 2-D prognostic
+        sharing vars.nc with the layered fields, qg-node/qg.h:492-495)."""
         self.path = path
         self.names = list(var_names)
         self.nl = nl
         self.vertex = vertex
+        self.surface = set(surface_vars)
         npts = n + 1 if vertex else n
         f = netcdf_file(path, "w")
         f.createDimension("time", None)
@@ -42,7 +46,8 @@ class NCWriter:
         dims = ("time", "level", "y", "x") if nl is not None else \
             ("time", "y", "x")
         for name in self.names:
-            f.createVariable(name, "f4", dims)
+            d = ("time", "y", "x") if name in self.surface else dims
+            f.createVariable(name, "f4", d)
         self._f = f
         self._nt = 0
 
@@ -61,11 +66,15 @@ class NCWriter:
 
 def read_nc(path, names, time_index=-1):
     """Read variables at one time record (default: last — the reference's
-    restart convention). Returns dict name -> array, plus the record time."""
+    restart convention; time_index=None reads every record). Returns dict
+    name -> array, plus the record time (array of times for None)."""
     with netcdf_file(path, "r", mmap=False) as f:
         out = {}
         for name in names:
             v = f.variables[name]
-            out[name] = np.array(v[time_index], np.float64)
-        t = float(np.array(f.variables["time"][time_index]))
+            out[name] = np.array(v[:] if time_index is None
+                                 else v[time_index], np.float64)
+        tv = f.variables["time"]
+        t = (np.array(tv[:], np.float64) if time_index is None
+             else float(np.array(tv[time_index])))
     return out, t

@@ -151,7 +151,7 @@ def _stretch_prof(a, s, idh0, idh1):
     return jnp.stack(rows, axis=0)
 
 
-def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, *,
+def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
                 T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
                 idh0, idh1, has_strl):
     i = pl.program_id(0)
@@ -232,10 +232,31 @@ def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, *,
 
     out_ref[:] = dq[:, _H:T + _H, :]
 
+    # fused CFL: per-layer max |face velocity| over this tile's rows — the
+    # psi tile is already in VMEM, so the whole CFL field pass
+    # (ops.ghost.max_face_speed_layers, ~3 ms of rolls + copies at 2048^2x4
+    # when lowered by XLA) collapses into these registers. Faces are
+    # evaluated from the cell on each side (interior faces twice, wall
+    # faces once via the materialized ghosts) — identical extrema.
+    i2d = 1.0 / (2.0 * delta)
+    uc = -(pv["n"] - pv["s"]) * i2d
+    ucW = -(pv["nw"] - pv["sw"]) * i2d
+    ucE = -(pv["ne"] - pv["se"]) * i2d
+    vc = (pv["e"] - pv["w"]) * i2d
+    vcS = (pv["se"] - pv["sw"]) * i2d
+    vcN = (pv["ne"] - pv["nw"]) * i2d
+    speed = jnp.maximum(
+        jnp.maximum(jnp.abs(0.5 * (uc + ucW)), jnp.abs(0.5 * (uc + ucE))),
+        jnp.maximum(jnp.abs(0.5 * (vc + vcS)), jnp.abs(0.5 * (vc + vcN))))
+    for l in range(nl):   # static; scalar stores into the SMEM accumulator
+        umax_ref[i, l] = jnp.max(speed[l, _H:T + _H, :])
+
 
 def rhs_fused(cfg, const, psi: jnp.ndarray,
-              interpret: bool | None = None) -> jnp.ndarray:
-    """dq for the supported configuration (see module docstring)."""
+              interpret: bool | None = None):
+    """(dq, umax_layers) for the supported configuration (see module
+    docstring); umax_layers is the (nl,) per-layer max |face velocity| for
+    the CFL controller, computed in the same VMEM pass."""
     if interpret is None:
         interpret = default_interpret()
     kd: RhsKernelData = const.rhsk
@@ -262,13 +283,20 @@ def rhs_fused(cfg, const, psi: jnp.ndarray,
         idh0=tuple(float(v) for v in const.idh0),
         idh1=tuple(float(v) for v in const.idh1),
         has_strl=has_strl)
-    return pl.pallas_call(
+    dq, umax_tiles = pl.pallas_call(
         kern,
         grid=(n // T,),
         in_specs=[center, up, down, sspec, wspec],
-        out_specs=pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(psi.shape, psi.dtype),
+        # the umax accumulator lives in SMEM (scalars per tile x layer; a
+        # vector store of a sub-(8,128) block trips Mosaic layout checks),
+        # one full-array block resident across the whole grid
+        out_specs=[pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0)),
+                   pl.BlockSpec((n // T, nl), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(psi.shape, psi.dtype),
+                   jax.ShapeDtypeStruct((n // T, nl), psi.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(psi, psi, psi, strl_arg, kd.wind)
+    return dq, jnp.max(umax_tiles, axis=0)

@@ -161,10 +161,15 @@ def beta_effect_g(p: Ghosted, beta: float, delta: float) -> jnp.ndarray:
     return beta * (p.shift(0, -1) - p.shift(0, 1)) / (2.0 * delta)
 
 
-def max_face_speed(p: Ghosted, delta: float) -> jnp.ndarray:
-    """max over faces of |u| for the CFL controller: the face velocity is
-    the mean of the adjacent cells' one-sided derivative (identical extrema
-    to ops.stencil.face_velocities, incl. the boundary faces)."""
+def max_face_speed_layers(p: Ghosted, delta: float) -> jnp.ndarray:
+    """Per-layer max over faces of |u| for the CFL controller: the face
+    velocity is the mean of the adjacent cells' one-sided derivative
+    (identical extrema to ops.stencil.face_velocities, incl. the boundary
+    faces). Reduces only the trailing (y, x) axes, so a (nl, N, N) input
+    gives all layers' maxima in one fused pass (the reference calls
+    timestep() once per layer, /root/reference/msqg/qg.h:383-391; the
+    sequential part of that chain is only the scalar smoothing recurrence,
+    handled by the caller)."""
     # cell-centered -dpsi/dy and +dpsi/dx (with ghost neighbors)
     uc = -(p.shift(1, 0) - p.shift(-1, 0)) / (2.0 * delta)
     vc = (p.shift(0, 1) - p.shift(0, -1)) / (2.0 * delta)
@@ -174,12 +179,20 @@ def max_face_speed(p: Ghosted, delta: float) -> jnp.ndarray:
     ucl = -(pgl[..., 2:] - pgl[..., :-2]) / (2.0 * delta)
     ucr = -(pgr[..., 2:] - pgr[..., :-2]) / (2.0 * delta)
     ucW = jnp.roll(uc, 1, axis=-1).at[..., :, 0].set(ucl)
-    fx = jnp.max(jnp.abs(0.5 * (uc + ucW)))
-    fx = jnp.maximum(fx, jnp.max(jnp.abs(0.5 * (uc[..., :, -1] + ucr))))
+    yx = (-2, -1)
+    fx = jnp.max(jnp.abs(0.5 * (uc + ucW)), axis=yx)
+    fx = jnp.maximum(fx, jnp.max(jnp.abs(0.5 * (uc[..., :, -1] + ucr)),
+                                 axis=-1))
     # ghost-row values of vc
     vgb = (p.gb[..., 2:] - p.gb[..., :-2]) / (2.0 * delta)
     vgt = (p.gt[..., 2:] - p.gt[..., :-2]) / (2.0 * delta)
     vcS = jnp.roll(vc, 1, axis=-2).at[..., 0, :].set(vgb)
-    fy = jnp.max(jnp.abs(0.5 * (vc + vcS)))
-    fy = jnp.maximum(fy, jnp.max(jnp.abs(0.5 * (vc[..., -1, :] + vgt))))
+    fy = jnp.max(jnp.abs(0.5 * (vc + vcS)), axis=yx)
+    fy = jnp.maximum(fy, jnp.max(jnp.abs(0.5 * (vc[..., -1, :] + vgt)),
+                                 axis=-1))
     return jnp.maximum(fx, fy)
+
+
+def max_face_speed(p: Ghosted, delta: float) -> jnp.ndarray:
+    """Scalar max over all layers and faces (see max_face_speed_layers)."""
+    return jnp.max(max_face_speed_layers(p, delta))

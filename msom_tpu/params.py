@@ -93,6 +93,10 @@ class QGConfig:
     solver: str = "mg"       # PV inversion: "mg" (reference-parity multigrid)
     #                          or "spectral" (exact direct modal DST/FFT solve,
     #                          requires spatially-uniform strl; solvers/spectral.py)
+    transform: str = "auto"  # spectral basis impl: "auto" | "fft" | "matmul"
+    #                          (matmul = DST as MXU matmuls; auto picks it for
+    #                          f32 at N <= 4096, and it is the only transform
+    #                          that shards cleanly under GSPMD)
     dtype: str = "float32"
 
     # ----- derived (read-only properties) -----
@@ -135,6 +139,9 @@ class QGConfig:
         if self.solver not in ("mg", "spectral"):
             raise ValueError(f"solver={self.solver!r}: must be 'mg' or "
                              "'spectral'")
+        if self.transform not in ("auto", "fft", "matmul"):
+            raise ValueError(f"transform={self.transform!r}: must be "
+                             "'auto', 'fft' or 'matmul'")
         if self.Rom <= 0:
             raise ValueError("Rom <= 0: aborting (msqg/qg.h:1009-1012)")
         if len(self.dh) < self.nl or any(d == 0 for d in self.dh[:self.nl]):

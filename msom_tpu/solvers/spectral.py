@@ -52,12 +52,33 @@ class SpectralData:
     inv_den: jnp.ndarray         # (nl, N, Kx): 1/(lam_y + lam_x + iBu_m)
     l2m: jnp.ndarray | None      # (nl, nl) layer->mode (None when nl == 1)
     m2l: jnp.ndarray | None      # (nl, nl) mode->layer
+    S: jnp.ndarray | None        # (N, N) DST-II matrix (matmul transform)
     periodic: bool               # static: selects DFT vs DST basis
 
 
 jax.tree_util.register_dataclass(
-    SpectralData, data_fields=["inv_den", "l2m", "m2l"],
+    SpectralData, data_fields=["inv_den", "l2m", "m2l", "S"],
     meta_fields=["periodic"])
+
+
+def dst_matrix(N: int, dtype=np.float64) -> np.ndarray:
+    """Orthonormal DST-II matrix: S[k, i] = c_k sin(pi (k+1)(i+1/2)/N),
+    row k <-> sine wavenumber k+1 (the natural ordering of build_spectral's
+    eigenvalues). S is orthogonal, so the inverse transform is S.T."""
+    k = np.arange(N)[:, None]
+    i = np.arange(N)[None, :]
+    S = np.sin(np.pi * (k + 1) * (i + 0.5) / N)
+    c = np.full(N, np.sqrt(2.0 / N))
+    c[-1] = np.sqrt(1.0 / N)
+    return (c[:, None] * S).astype(dtype)
+
+
+# MXU precision for the f32 matmul transforms: HIGH (3-pass bf16) measures
+# 4.6e-5 max relative error on a full transform roundtrip at N = 2048 —
+# ~20x tighter than the reference's multigrid tolerance 1e-3
+# (/root/reference/msqg/qg.h:159) — at 3x the speed of HIGHEST and ~3x the
+# speed of the FFT lowering (tools/dst_experiment.py, PERF.md).
+_MM_PRECISION = jax.lax.Precision.HIGH
 
 
 def _sign(N: int, dtype) -> np.ndarray:
@@ -85,7 +106,8 @@ def idst2(X: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
-                   lam=None, periodic: bool, dtype) -> SpectralData:
+                   lam=None, periodic: bool, dtype,
+                   transform: str = "auto") -> SpectralData:
     """Precompute the modal inverse denominators.
 
     Either s_profile — (nl-1,) uniform stretching values (Fr/Ro)^2, vertical
@@ -123,8 +145,21 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
            + iBu[:, None, None])                            # (nl, N, Kx)
     with np.errstate(divide="ignore"):
         inv = np.where(den != 0.0, 1.0 / np.where(den != 0.0, den, 1.0), 0.0)
+
+    # Transform selection (measured in tools/dst_experiment.py / PERF.md):
+    # the DST as one MXU matmul per axis beats the FFT lowering ~3x in f32
+    # on TPU (O(N^3) flops are cheap, the FFT's shuffles are not); keep the
+    # FFT for f64 (matmul precision flags only help f32) and for huge N
+    # where O(N^3) finally loses, and for the periodic/DFT basis.
+    S = None
+    if not periodic:
+        use_mm = (transform == "matmul"
+                  or (transform == "auto" and jnp.dtype(dtype).itemsize == 4
+                      and N <= 4096))
+        if use_mm:
+            S = jnp.asarray(dst_matrix(N), dtype)
     return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
-                        periodic=periodic)
+                        S=S, periodic=periodic)
 
 
 def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
@@ -134,6 +169,18 @@ def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
         Q = jnp.fft.rfft2(qm)
         P = Q * data.inv_den.astype(Q.real.dtype)
         pm = jnp.fft.irfft2(P, s=qm.shape[-2:]).astype(q.dtype)
+    elif data.S is not None:
+        # DST-II as MXU matmuls. S rows are in the natural sine ordering
+        # (k <-> sin k+1) — the same ordering dst2 produces after its flip
+        # and the ordering inv_den is built in, so the two paths share
+        # inv_den verbatim (asserted by tests/test_spectral.py).
+        p = _MM_PRECISION
+        S = data.S
+        Q = jnp.einsum("ki,myi->myk", S, qm, precision=p)
+        Q = jnp.einsum("kj,mjx->mkx", S, Q, precision=p)
+        P = Q * data.inv_den
+        pm = jnp.einsum("jk,mkx->mjx", S.T, P, precision=p)
+        pm = jnp.einsum("ik,myk->myi", S.T, pm, precision=p)
     else:
         Q = dst2(dst2(qm, -1), -2)
         P = Q * data.inv_den

@@ -29,9 +29,14 @@ def test_rhs_fused_matches_xla(N, nl, Re):
     zeta = laplacian_g(psi_g, cfg.delta)
     zeta_g = m._ghost_deriv(cfg, zeta, psi_g)
     dq_ref, _ = m.rhs(cfg, const, state.q, psi, psi_g, zeta, zeta_g, None)
-    dq_k = pallas_rhs.rhs_fused(cfg, const, psi, interpret=True)
+    dq_k, umax_k = pallas_rhs.rhs_fused(cfg, const, psi, interpret=True)
     np.testing.assert_allclose(np.asarray(dq_k), np.asarray(dq_ref),
                                atol=1e-12)
+    # the fused CFL face maxima must equal the XLA lowering's, per layer
+    from msom_tpu.ops.ghost import max_face_speed_layers
+    umax_ref = max_face_speed_layers(psi_g, cfg.delta)
+    np.testing.assert_allclose(np.asarray(umax_k), np.asarray(umax_ref),
+                               rtol=1e-13, atol=0)
 
 
 def test_not_applicable_with_coupling():

@@ -152,3 +152,34 @@ def test_spectral_rejects_varying_stratification():
                    dtype="float64").validate()
     with pytest.raises(ValueError, match="spectral"):
         m.build_constants(cfg)
+
+
+def test_matmul_transform_matches_fft():
+    """The MXU matmul-DST path (SpectralData.S) and the FFT lowering share
+    inv_den and must agree: f64 to roundoff, f32 to MXU-HIGH precision."""
+    from msom_tpu.solvers import spectral as sp
+
+    N, nl = 64, 3
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((nl, N, N))
+    kw = dict(nl=nl, N=N, L0=80.0, dh=[0.06, 0.14, 0.8],
+              s_profile=[(0.0023669 / 0.025) ** 2, (0.0076173 / 0.025) ** 2],
+              periodic=False)
+    for dtype, tol in ((jnp.float64, 1e-13), (jnp.float32, 5e-6)):
+        d_fft = sp.build_spectral(**kw, dtype=dtype, transform="fft")
+        d_mm = sp.build_spectral(**kw, dtype=dtype, transform="matmul")
+        assert d_fft.S is None and d_mm.S is not None
+        qj = jnp.asarray(q, dtype)
+        p1 = np.asarray(sp.solve_spectral(d_fft, qj), np.float64)
+        p2 = np.asarray(sp.solve_spectral(d_mm, qj), np.float64)
+        assert np.max(np.abs(p1 - p2)) <= tol * np.max(np.abs(p1))
+
+
+def test_transform_auto_selection():
+    from msom_tpu.solvers import spectral as sp
+    kw = dict(nl=1, N=32, L0=1.0, periodic=False)
+    assert sp.build_spectral(**kw, dtype=jnp.float32).S is not None
+    assert sp.build_spectral(**kw, dtype=jnp.float64).S is None  # f64 -> fft
+    per = sp.build_spectral(nl=1, N=32, L0=1.0, periodic=True,
+                            dtype=jnp.float32)
+    assert per.S is None  # periodic keeps the rfft2 basis
