@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from msom_tpu.models import qg as m
 from msom_tpu.ops.bc import BC
@@ -128,7 +128,7 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     step = shard_map(local_step, mesh=mesh,
                      in_specs=(state_specs, const_specs, P()),
                      out_specs=(state_specs, diag_specs),
-                     check_rep=False)
+                     check_vma=False)
 
     def place(tree):
         specs = tree_specs(tree, my, mx)

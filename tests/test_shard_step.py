@@ -6,7 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from msom_tpu.models import qg as m
@@ -47,7 +47,7 @@ def test_ghosted_sharded_matches_global(mesh, bc):
         return neighbor_sum(g) + arakawa_mjac_g(g, g, 1.0)
 
     f2 = shard_map(op_local, mesh=mesh, in_specs=P(None, "y", "x"),
-                   out_specs=P(None, "y", "x"), check_rep=False)
+                   out_specs=P(None, "y", "x"), check_vma=False)
     np.testing.assert_allclose(np.asarray(f2(a)), np.asarray(op_global(a)),
                                atol=1e-13)
 
@@ -69,7 +69,7 @@ def test_ghosted_slip_sharded(mesh):
 
     f = shard_map(op_local, mesh=mesh,
                   in_specs=(P(None, "y", "x"), P(None, "y", "x")),
-                  out_specs=P(None, "y", "x"), check_rep=False)
+                  out_specs=P(None, "y", "x"), check_vma=False)
     np.testing.assert_allclose(np.asarray(f(zeta, psi)),
                                np.asarray(op_global(zeta, psi)), atol=1e-13)
 
@@ -94,7 +94,7 @@ def test_sharded_mg_matches_single(mesh):
             a, bb, levels=lv, my=my, mx=mx, idh0=const.idh0,
             idh1=const.idh1, bc=BC.DIRICHLET, tolerance=1e-8)[0],
         mesh=mesh, in_specs=(P(None, "y", "x"), P(None, "y", "x"), lv_specs),
-        out_specs=P(None, "y", "x"), check_rep=False)
+        out_specs=P(None, "y", "x"), check_vma=False)
     a_sh = f(a0, b, const.levels)
     a_ref, st = mg.solve_layered(a0, b, L0=cfg.L0, s=const.strl,
                                  idh0=const.idh0, idh1=const.idh1,
