@@ -67,6 +67,7 @@ def build(N, nl, dtype, tol, solver="spectral"):
 
 def measure(N, nl, dtype, tol, solver, steps, pallas_env=None):
     """Wall seconds per step for one solver configuration."""
+    saved_pallas = os.environ.get("MSOM_PALLAS")
     if pallas_env is not None:
         os.environ["MSOM_PALLAS"] = pallas_env
     try:
@@ -85,7 +86,10 @@ def measure(N, nl, dtype, tol, solver, steps, pallas_env=None):
         return (time.time() - t0) / steps
     finally:
         if pallas_env is not None:
-            os.environ.pop("MSOM_PALLAS", None)
+            if saved_pallas is None:
+                os.environ.pop("MSOM_PALLAS", None)
+            else:
+                os.environ["MSOM_PALLAS"] = saved_pallas
 
 
 def main():

@@ -286,26 +286,130 @@ def stdout_hooks(stream=None) -> RunHooks:
     return RunHooks(on_log=log)
 
 
+class PGOutputWriter:
+    """mspg reference-compatible output (pg.c events writeconst/writestate):
+    psibt.bas at t = 0, then running-mean b%09d.bas / u%09d.bas every dtout
+    — with the two vertical ghost sigma-layers included in the blocks (the
+    reference dumps the full nl+2 lists, pg.c:213-228, vertbc ghosts
+    pg.h:374-387) so our files round-trip through load_pg_deck AND through
+    the reference's own input_matrixl."""
+
+    def __init__(self, cfg, const, outdir=None, params_text=None):
+        import os
+
+        from msom_tpu.parallel import dist
+
+        self.cfg = cfg
+        if outdir is None:
+            if dist.is_master():
+                for k in range(1, 10000):
+                    cand = f"outdir_{k:04d}"
+                    try:
+                        os.makedirs(cand)
+                        outdir = cand
+                        break
+                    except FileExistsError:
+                        continue
+            outdir = dist.broadcast_str(outdir)
+        elif dist.is_master():
+            os.makedirs(outdir, exist_ok=True)
+        dist.sync()
+        self.dir = outdir
+        self._master = dist.is_master()
+        if self._master:
+            from msom_tpu.io.bas import write_bas
+            if params_text is not None:
+                with open(f"{self.dir}/params.in", "w") as f:
+                    f.write(params_text)
+            write_bas(f"{self.dir}/psibt.bas", np.asarray(const.psibt),
+                      cfg.L0, y0=cfg.ys)
+
+    def __call__(self, state, t):
+        from msom_tpu.io.bas import write_bas
+        from msom_tpu.parallel import dist
+
+        i = int(state.i)
+        cfg = self.cfg
+        b = np.asarray(dist.fetch_global(state.b_me))
+        ux = np.asarray(dist.fetch_global(state.ux_me))
+        uy = np.asarray(dist.fetch_global(state.uy_me))
+        if not self._master:
+            return
+        bg = np.concatenate([b[:1], b, b[-1:]], axis=0)       # vertbc ghosts
+        write_bas(f"{self.dir}/b{i:09d}.bas", bg, cfg.L0, y0=cfg.ys)
+        # (scalar *) u_mel flattening: [l.x, l.y] per sigma-layer incl.
+        # ghosts; faces anchored at their cell (drop the trailing wall face)
+        ux_c, uy_c = ux[:, :, :-1], uy[:, :-1, :]
+        uxg = np.concatenate([ux_c[:1], ux_c, ux_c[-1:]], axis=0)
+        uyg = np.concatenate([uy_c[:1], uy_c, uy_c[-1:]], axis=0)
+        inter = np.stack([uxg, uyg], axis=1).reshape(-1, cfg.N, cfg.N)
+        write_bas(f"{self.dir}/u{i:09d}.bas", inter, cfg.L0, y0=cfg.ys)
+
+
 def main(argv=None):
     import argparse
+    import os
 
-    from msom_tpu.params import load_qg_config
+    from msom_tpu.io.deck import load_pg_deck, load_qg_deck
+    from msom_tpu.params import load_pg_config, load_qg_config
 
-    p = argparse.ArgumentParser(description="msom_tpu QG driver")
+    p = argparse.ArgumentParser(description="msom_tpu QG/PG driver — the "
+                                "`./qg.e params.in` / `./pg.e params.in` "
+                                "equivalent, incl. deck-directory input "
+                                "files and outdir_%%04d output")
     p.add_argument("--config", required=True, help="params.in path")
+    p.add_argument("--model", choices=["qg", "pg"], default="qg")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--deck", default=None,
+                   help="deck directory with input files (p0.bas, psipg_*, "
+                        "b0.bas, ...); defaults to the config's directory")
+    p.add_argument("--outdir", default=None,
+                   help="output directory (default: next free outdir_%%04d)")
+    p.add_argument("--no-output", action="store_true",
+                   help="skip file output (stdout KE log only)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    cfg = load_qg_config(args.config)
+    from msom_tpu.parallel import dist
+    dist.initialize()
+
+    with open(args.config) as f:
+        params_text = f.read()
+    deckdir = args.deck or os.path.dirname(os.path.abspath(args.config))
+    log = (lambda s: print(s)) if dist.is_master() else (lambda s: None)
+
     t0 = time.time()
-    state = run_qg(cfg, hooks=stdout_hooks(), max_steps=args.steps)
+    if args.model == "pg":
+        from msom_tpu.models import mspg
+        cfg = load_pg_config(params_text)
+        deck = load_pg_deck(cfg, deckdir, log=log)
+        const = mspg.build_constants(cfg, **deck["const"])
+        state = mspg.init_state(cfg, const, **deck["init"])
+        hooks = stdout_hooks()
+        if not args.no_output:
+            hooks.on_output = PGOutputWriter(cfg, const, outdir=args.outdir,
+                                             params_text=params_text)
+        state = run_pg(cfg, const=const, state=state, hooks=hooks,
+                       max_steps=args.steps)
+    else:
+        cfg = load_qg_config(params_text)
+        deck = load_qg_deck(cfg, deckdir, log=log)
+        const = qg_model.build_constants(cfg, **deck["const"])
+        state = qg_model.init_state(cfg, const, **deck["init"])
+        hooks = stdout_hooks()
+        if not args.no_output:
+            hooks.on_output = OutputWriter(cfg, const, outdir=args.outdir,
+                                           params_text=params_text)
+        state = run_qg(cfg, const=const, state=state, hooks=hooks,
+                       max_steps=args.steps)
     wall = time.time() - t0
     n_steps = int(state.i)
-    print(json.dumps({
-        "steps": n_steps, "t": float(state.t), "wall_s": wall,
-        "points_per_s": cfg.N * cfg.N * cfg.nl * n_steps / max(wall, 1e-9)}))
+    if dist.is_master():
+        print(json.dumps({
+            "steps": n_steps, "t": float(state.t), "wall_s": wall,
+            "points_per_s": cfg.N * cfg.N * cfg.nl * n_steps
+            / max(wall, 1e-9)}))
 
 
 if __name__ == "__main__":

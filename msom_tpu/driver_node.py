@@ -99,11 +99,17 @@ class NodeOutput:
         if dist.is_master():
             shutil.copy(path, os.path.join(self.dir, "restart.nc.bak"))
 
+    def backup_file(self, path):
+        """Copy a consumed input file into the output dir (backup_file,
+        /root/reference/qg-node/extra.h:137-178 — the reference backs up
+        input_vars_<nl>l_N<N>.nc at init, qg_baroclinic_ms.h:492)."""
+        if dist.is_master():
+            shutil.copy(path, os.path.join(self.dir,
+                                           os.path.basename(path)))
+
     def close(self):
         if self.nc is not None:
             self.nc.close()
-            if getattr(self, "nc_bs", None) is not None:
-                self.nc_bs.close()
 
 
 def _maybe_restart(path: str | None):
@@ -115,14 +121,27 @@ def _maybe_restart(path: str | None):
 
 def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
              max_steps: int | None = None, outdir=None, output=None,
-             restart: str | None = "restart.nc", params_text=None):
+             restart: str | None = "restart.nc", params_text=None,
+             deck: str | None = None):
     """Integrate the qg-node model to cfg.tend with the reference's event
-    schedule. Returns (final_state, output)."""
+    schedule. Returns (final_state, output).
+
+    `deck`: directory holding input_vars_<nl>l_N<N>.nc (N2, psi_pg, mask,
+    topo, q_forcing_3d — /root/reference/qg-node/qg_baroclinic_ms.h:478-495);
+    the consumed file is backed up into the output dir."""
     from msom_tpu.models import qg_node as node
 
-    hooks = hooks or RunHooks()
+    deck_nc = None
     if const is None:
-        const = node.build_constants(cfg)
+        kw = {}
+        if deck is not None:
+            from msom_tpu.io.deck import load_node_deck
+            d = load_node_deck(
+                cfg, deck,
+                log=(print if dist.is_master() else None))
+            kw = d["const"]
+            deck_nc = d["path"]
+        const = node.build_constants(cfg, **kw)
     if state is None:
         state = node.init_state(cfg, const)
     rp = _maybe_restart(restart)
@@ -140,6 +159,8 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
         output = NodeOutput(cfg, outdir, params_text=params_text)
     if rp:
         output.backup_restart(rp)
+    if deck_nc:
+        output.backup_file(deck_nc)
     step = jax.jit(node.make_step(cfg))
 
     t = float(state.t)
@@ -320,11 +341,17 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--outdir", default=None)
     p.add_argument("--restart", default="restart.nc")
+    p.add_argument("--deck", default=None,
+                   help="deck directory with input_vars_<nl>l_N<N>.nc; "
+                        "defaults to the config's directory")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     dist.initialize()
+
+    import os as _os
+    deck = args.deck or _os.path.dirname(_os.path.abspath(args.config))
 
     with open(args.config) as f:
         text = f.read()
@@ -336,9 +363,14 @@ def main(argv=None):
     else:
         from msom_tpu.models.qg_node import load_node_config
         cfg = load_node_config(text)
-        runner = run_sqg if args.model == "sqg" else run_node
-        runner(cfg, hooks=stdout_hooks(), max_steps=args.steps,
-               outdir=args.outdir, restart=args.restart, params_text=text)
+        if args.model == "sqg":
+            run_sqg(cfg, hooks=stdout_hooks(), max_steps=args.steps,
+                    outdir=args.outdir, restart=args.restart,
+                    params_text=text)
+        else:
+            run_node(cfg, hooks=stdout_hooks(), max_steps=args.steps,
+                     outdir=args.outdir, restart=args.restart,
+                     params_text=text, deck=deck)
 
 
 if __name__ == "__main__":

@@ -25,10 +25,12 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+import numpy as np
+
 from msom_tpu.models import qg as m
 from msom_tpu.ops.bc import BC
 from msom_tpu.ops.ghost import laplacian_g
-from msom_tpu.parallel import halo, shard_mg
+from msom_tpu.parallel import halo, shard_mg, spectral_shard
 
 
 def _spec_rule(my: int, mx: int):
@@ -52,7 +54,13 @@ def tree_specs(tree, my: int, mx: int):
 def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     """Build (step, place): `step(state, const, tnext)` is the shard_map'ed
     predictor-corrector; `place(tree)` device_puts a pytree with the
-    matching shardings."""
+    matching shardings.
+
+    The PV inversion is either the sharded multigrid (solver="mg",
+    shard_mg.solve_layered_sharded) or the sharded direct spectral solve
+    (solver="spectral", spectral_shard.solve_spectral_sharded — the
+    production fast path; the basis data is rebuilt here with
+    force_matmul=True so both BC bases shard)."""
     assert const_example.pp_pad is None, "sharded step v1: no PG coupling"
     assert const_example.topo_pad is None, "sharded step v1: no topography"
     assert state_example.tracers is None, "sharded step v1: no tracers"
@@ -63,15 +71,34 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     DT = cfg.dt_clamped()
     delta = cfg.delta
 
+    sd = None
+    if cfg.solver == "spectral":
+        from msom_tpu.solvers import spectral as spectral_mod
+        assert cfg.N % my == 0 and cfg.N % mx == 0, \
+            "sharded spectral: N must divide the mesh"
+        strl = const_example.strl
+        sprof = None if strl is None else np.asarray(strl)[:, 0, 0]
+        sd = spectral_mod.build_spectral(
+            nl=cfg.nl, N=cfg.N, L0=cfg.L0, dh=np.asarray(cfg.dh[:cfg.nl]),
+            s_profile=sprof, periodic=(cfg.sbc == -1),
+            dtype=jnp.dtype(cfg.dtype), transform=cfg.transform,
+            force_matmul=True)
+
     def ghost_deriv(f, parent_g):
         if cfg.sbc == -1:
             return halo.ghosted_sharded(f, BC.PERIODIC)
         return halo.ghosted_slip_sharded(f, parent_g, cfg.sbc, delta)
 
-    def update(const, q, psi_guess, prev):
-        psi, st = shard_mg.solve_layered_sharded(
-            psi_guess, q, levels=const.levels, my=my, mx=mx,
-            idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
+    def update(const, sdl, q, psi_guess, prev):
+        if sdl is not None:
+            psi = spectral_shard.solve_spectral_sharded(sdl, q)
+            z = jnp.zeros((), q.dtype)
+            st = shard_mg.mg.MGStats(iters=jnp.zeros((), jnp.int32), resb=z,
+                                     resa=z, nrelax=jnp.zeros((), jnp.int32))
+        else:
+            psi, st = shard_mg.solve_layered_sharded(
+                psi_guess, q, levels=const.levels, my=my, mx=mx,
+                idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
         psi_g = halo.ghosted_sharded(psi, bc)
         zeta = laplacian_g(psi_g, delta)
         zeta_g = ghost_deriv(zeta, psi_g)
@@ -82,7 +109,7 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
                                 reduce_fn=halo.pmax2)
         return dq, psi, prev, dtm, st
 
-    def local_step(state, const, tnext):
+    def local_step(state, const, sdl, tnext):
         q0 = state.q
         key = state.key
         noise = None
@@ -96,7 +123,7 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
                 sub, q0.shape, q0.dtype)
 
         def substep(q_eval, psi, prev, dt, is_first):
-            dq, psi, prev, dtm, st = update(const, q_eval, psi, prev)
+            dq, psi, prev, dtm, st = update(const, sdl, q_eval, psi, prev)
             if is_first:
                 dt = m.dtnext(state.t, tnext, dtm)
             frac = 0.5 if is_first else 1.0
@@ -124,11 +151,12 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     const_specs = tree_specs(const_example, my, mx)
     diag_specs = jax.tree.map(lambda _: P(), m.StepDiag(
         dt=0.0, ke=0.0, mg_iters=0, mg_res=0.0))
+    sd_specs = None if sd is None else spectral_shard.specs(sd, my, mx)
 
-    step = shard_map(local_step, mesh=mesh,
-                     in_specs=(state_specs, const_specs, P()),
-                     out_specs=(state_specs, diag_specs),
-                     check_vma=False)
+    raw = shard_map(local_step, mesh=mesh,
+                    in_specs=(state_specs, const_specs, sd_specs, P()),
+                    out_specs=(state_specs, diag_specs),
+                    check_vma=False)
 
     def place(tree):
         specs = tree_specs(tree, my, mx)
@@ -136,4 +164,13 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             tree, specs)
 
-    return jax.jit(step), place
+    if sd is not None:
+        sd = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), sd,
+            sd_specs)
+
+    @jax.jit
+    def step(state, const, tnext):
+        return raw(state, const, sd, tnext)
+
+    return step, place

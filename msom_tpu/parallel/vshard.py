@@ -404,7 +404,12 @@ def _specs_const(c: VertexShardConst, my, mx):
                 and nx // mx >= 2):
             return P(*([None] * (x.ndim - 2) + ["y", "x"]))
         return P()
-    return jax.tree.map(rule, c)
+    specs = jax.tree.map(rule, c)
+    # The VertexRing is replicated by construction (ring_slices/vghost slice
+    # it with global offsets): force P() so an (nl, N) leaf with nl % my == 0
+    # can never be mesh-sharded by the generic rule above.
+    return dataclasses.replace(
+        specs, ring=jax.tree.map(lambda _: P(), c.ring))
 
 
 def rhs_pv_sharded(cfg, c: VertexShardConst, q, psi, t, ym="y", xm="x"):

@@ -91,8 +91,12 @@ class QGConfig:
     tol: float = 1e-3        # PV-inversion tolerance (msqg/qg.h:159)
     mode_pv_invert: bool = False  # modal inversion path (msqg/qg.h:4,109-157)
     solver: str = "mg"       # PV inversion: "mg" (reference-parity multigrid)
-    #                          or "spectral" (exact direct modal DST/FFT solve,
-    #                          requires spatially-uniform strl; solvers/spectral.py)
+    #                          or "spectral" (direct modal DST/FFT solve,
+    #                          requires spatially-uniform strl; solvers/
+    #                          spectral.py). With transform="auto" the f32
+    #                          path uses the MXU matmul DST (~5e-5 max rel.
+    #                          error, PERF.md — far tighter than mg tol 1e-3);
+    #                          transform="fft" is the exact-to-roundoff lowering.
     transform: str = "auto"  # spectral basis impl: "auto" | "fft" | "matmul"
     #                          (matmul = DST as MXU matmuls; auto picks it for
     #                          f32 at N <= 4096, and it is the only transform

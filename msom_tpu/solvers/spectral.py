@@ -48,17 +48,28 @@ from jax.scipy import fft as jfft
 
 @dataclasses.dataclass(frozen=True)
 class SpectralData:
-    """Precomputed inverse modal denominators + mode matrices."""
+    """Precomputed inverse modal denominators + mode matrices.
+
+    When S is present the matmul path is used: S is an orthonormal (N, N)
+    real eigenbasis of the 1-D discrete Laplacian under the model BC — the
+    DST-II matrix (Dirichlet) or the cos/sin Fourier eigenbasis (periodic,
+    fourier_matrix) — and inv_den is laid out in that basis's row ordering.
+    With S None the transform falls back to the fast lowering (DCT-based DST
+    or rfft2) with inv_den in the corresponding ordering."""
     inv_den: jnp.ndarray         # (nl, N, Kx): 1/(lam_y + lam_x + iBu_m)
     l2m: jnp.ndarray | None      # (nl, nl) layer->mode (None when nl == 1)
     m2l: jnp.ndarray | None      # (nl, nl) mode->layer
-    S: jnp.ndarray | None        # (N, N) DST-II matrix (matmul transform)
+    S: jnp.ndarray | None        # (N, N) basis matrix (matmul transform)
+    iBu: jnp.ndarray | None      # (nl,) modal Helmholtz coefficients
     periodic: bool               # static: selects DFT vs DST basis
+    delta: float                 # static: grid spacing (refinement stencil)
+    refine: bool                 # static: bf16 transforms + one f32
+    #                              iterative-refinement pass (TPU MXU lever)
 
 
 jax.tree_util.register_dataclass(
-    SpectralData, data_fields=["inv_den", "l2m", "m2l", "S"],
-    meta_fields=["periodic"])
+    SpectralData, data_fields=["inv_den", "l2m", "m2l", "S", "iBu"],
+    meta_fields=["periodic", "delta", "refine"])
 
 
 def dst_matrix(N: int, dtype=np.float64) -> np.ndarray:
@@ -85,6 +96,29 @@ def _sign(N: int, dtype) -> np.ndarray:
     return ((-1.0) ** np.arange(N)).astype(dtype)
 
 
+def fourier_matrix(N: int, dtype=np.float64):
+    """Orthonormal REAL eigenbasis of the periodic 1-D discrete Laplacian
+    (N even): row 0 = 1/sqrt(N); rows (2m-1, 2m) = sqrt(2/N) cos/sin of
+    frequency m for m = 1..N/2-1; row N-1 = (-1)^i/sqrt(N) (Nyquist).
+    Returns (R, freq): R orthogonal with R L R^T = diag over the returned
+    per-row frequencies — the periodic-basis counterpart of dst_matrix, so
+    the sharded matmul transform covers both BCs with one algorithm."""
+    assert N % 2 == 0, "fourier_matrix requires even N"
+    i = np.arange(N)
+    R = np.empty((N, N))
+    freq = np.empty(N)
+    R[0] = 1.0 / np.sqrt(N)
+    freq[0] = 0
+    for m in range(1, N // 2):
+        ph = 2.0 * np.pi * m * i / N
+        R[2 * m - 1] = np.sqrt(2.0 / N) * np.cos(ph)
+        R[2 * m] = np.sqrt(2.0 / N) * np.sin(ph)
+        freq[2 * m - 1] = freq[2 * m] = m
+    R[N - 1] = ((-1.0) ** i) / np.sqrt(N)
+    freq[N - 1] = N // 2
+    return R.astype(dtype), freq
+
+
 def dst2(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Orthonormalized DST-II along `axis` (output index j <-> sine k=j+1)."""
     N = x.shape[axis]
@@ -107,7 +141,9 @@ def idst2(X: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
                    lam=None, periodic: bool, dtype,
-                   transform: str = "auto") -> SpectralData:
+                   transform: str = "auto",
+                   force_matmul: bool = False,
+                   refine: str | bool = "auto") -> SpectralData:
     """Precompute the modal inverse denominators.
 
     Either s_profile — (nl-1,) uniform stretching values (Fr/Ro)^2, vertical
@@ -131,61 +167,109 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
         iBu = np.zeros(1)
         l2m = m2l = None
 
-    if periodic:
+    # Transform selection (measured in tools/dst_experiment.py / PERF.md):
+    # the DST as one MXU matmul per axis beats the FFT lowering ~3x in f32
+    # on TPU (O(N^3) flops are cheap, the FFT's shuffles are not); keep the
+    # FFT for f64 (matmul precision flags only help f32) and for huge N
+    # where O(N^3) finally loses. `force_matmul` (the sharded path — the
+    # matmul basis is the only transform with an explicit-collective
+    # decomposition, parallel/spectral_shard.py) builds the basis matrix
+    # for EITHER BC: periodic gets the real cos/sin eigenbasis.
+    use_mm = force_matmul or transform == "matmul" or (
+        transform == "auto" and jnp.dtype(dtype).itemsize == 4
+        and N <= 4096 and not periodic)
+
+    S = None
+    if periodic and use_mm:
+        R, freq = fourier_matrix(N)
+        S = jnp.asarray(R, dtype)
+        lam_y = lam_x = -(4.0 / h ** 2) * np.sin(np.pi * freq / N) ** 2
+    elif periodic:
         ky = np.arange(N, dtype=np.float64)
         kx = np.arange(N // 2 + 1, dtype=np.float64)
         lam_y = -(4.0 / h ** 2) * np.sin(np.pi * ky / N) ** 2
         lam_x = -(4.0 / h ** 2) * np.sin(np.pi * kx / N) ** 2
     else:
         k = np.arange(1, N + 1, dtype=np.float64)
-        lam = -(4.0 / h ** 2) * np.sin(np.pi * k / (2 * N)) ** 2
-        lam_y = lam_x = lam
+        lam_d = -(4.0 / h ** 2) * np.sin(np.pi * k / (2 * N)) ** 2
+        lam_y = lam_x = lam_d
+        if use_mm:
+            S = jnp.asarray(dst_matrix(N), dtype)
 
     den = (lam_y[None, :, None] + lam_x[None, None, :]
            + iBu[:, None, None])                            # (nl, N, Kx)
     with np.errstate(divide="ignore"):
         inv = np.where(den != 0.0, 1.0 / np.where(den != 0.0, den, 1.0), 0.0)
 
-    # Transform selection (measured in tools/dst_experiment.py / PERF.md):
-    # the DST as one MXU matmul per axis beats the FFT lowering ~3x in f32
-    # on TPU (O(N^3) flops are cheap, the FFT's shuffles are not); keep the
-    # FFT for f64 (matmul precision flags only help f32) and for huge N
-    # where O(N^3) finally loses, and for the periodic/DFT basis.
-    S = None
-    if not periodic:
-        use_mm = (transform == "matmul"
-                  or (transform == "auto" and jnp.dtype(dtype).itemsize == 4
-                      and N <= 4096))
-        if use_mm:
-            S = jnp.asarray(dst_matrix(N), dtype)
+    # bf16 transforms + one f32 iterative-refinement pass: DEFAULT-precision
+    # MXU matmuls for all transform passes (1 bf16 pass each vs HIGH's 3),
+    # then r = q - L psi with the exact f32 5-point stencil and one more
+    # DEFAULT-precision solve of the correction. Error ~ eps_solve^2 —
+    # measured against the f64 solve in tests/test_spectral.py and against
+    # the lockstep oracle (GOLDEN.md); only meaningful for the f32 matmul
+    # path (f64 matmuls ignore precision flags).
+    if refine == "auto":
+        refine = bool(S is not None and jnp.dtype(dtype).itemsize == 4)
     return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
-                        S=S, periodic=periodic)
+                        S=S, iBu=jnp.asarray(iBu, dtype), periodic=periodic,
+                        delta=h, refine=bool(refine))
+
+
+def _mm_solve(data: SpectralData, qm: jnp.ndarray, precision) -> jnp.ndarray:
+    """One basis-matmul solve pass in modal space. S rows are in the natural
+    eigen ordering (DST: k <-> sin k+1, the ordering dst2 produces after its
+    flip; periodic: fourier_matrix rows) — the same ordering inv_den is
+    built in, so the matmul and fast-transform paths share inv_den verbatim
+    (asserted by tests/test_spectral.py)."""
+    S = data.S
+    Q = jnp.einsum("ki,myi->myk", S, qm, precision=precision)
+    Q = jnp.einsum("kj,mjx->mkx", S, Q, precision=precision)
+    P = Q * data.inv_den
+    pm = jnp.einsum("jk,mkx->mjx", S.T, P, precision=precision)
+    return jnp.einsum("ik,myk->myi", S.T, pm, precision=precision)
+
+
+def modal_residual(data: SpectralData, qm, pm, *, ghost_fn=None):
+    """r_m = q_m - lap(p_m) - iBu_m p_m with the exact f32/f64 5-point
+    stencil under the model BC (the refinement residual)."""
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.ops.ghost import ghosted, laplacian_g
+    bc = BC.PERIODIC if data.periodic else BC.DIRICHLET
+    gf = ghost_fn if ghost_fn is not None else ghosted
+    lap = laplacian_g(gf(pm, bc), data.delta)
+    return qm - lap - data.iBu[:, None, None] * pm
+
+
+# Modal (layer<->mode) projections are nl x nl matmuls — negligible flops,
+# so run them at full f32 precision always (DEFAULT would silently round
+# them to bf16 on TPU).
+_MODE_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
-    """psi = L^-1 q, exactly (to roundoff), q: (nl, N, N)."""
-    qm = q if data.l2m is None else jnp.einsum("ml,lyx->myx", data.l2m, q)
-    if data.periodic:
+    """psi = L^-1 q, q: (nl, N, N). Exact to roundoff on the fft/dct paths;
+    on the f32 matmul path, ~5e-5 (HIGH) or ~1e-4 with 2.5x less MXU work
+    (refine: DEFAULT bf16 passes + one f32 refinement) — both far below the
+    reference's mg tolerance 1e-3 (/root/reference/msqg/qg.h:159)."""
+    qm = q if data.l2m is None else jnp.einsum("ml,lyx->myx", data.l2m, q,
+                                               precision=_MODE_PRECISION)
+    if data.S is not None:
+        if data.refine:
+            pm = _mm_solve(data, qm, jax.lax.Precision.DEFAULT)
+            r = modal_residual(data, qm, pm)
+            pm = pm + _mm_solve(data, r, jax.lax.Precision.DEFAULT)
+        else:
+            pm = _mm_solve(data, qm, _MM_PRECISION)
+    elif data.periodic:
         Q = jnp.fft.rfft2(qm)
         P = Q * data.inv_den.astype(Q.real.dtype)
         pm = jnp.fft.irfft2(P, s=qm.shape[-2:]).astype(q.dtype)
-    elif data.S is not None:
-        # DST-II as MXU matmuls. S rows are in the natural sine ordering
-        # (k <-> sin k+1) — the same ordering dst2 produces after its flip
-        # and the ordering inv_den is built in, so the two paths share
-        # inv_den verbatim (asserted by tests/test_spectral.py).
-        p = _MM_PRECISION
-        S = data.S
-        Q = jnp.einsum("ki,myi->myk", S, qm, precision=p)
-        Q = jnp.einsum("kj,mjx->mkx", S, Q, precision=p)
-        P = Q * data.inv_den
-        pm = jnp.einsum("jk,mkx->mjx", S.T, P, precision=p)
-        pm = jnp.einsum("ik,myk->myi", S.T, pm, precision=p)
     else:
         Q = dst2(dst2(qm, -1), -2)
         P = Q * data.inv_den
         pm = idst2(idst2(P, -2), -1)
-    return pm if data.m2l is None else jnp.einsum("lm,myx->lyx", data.m2l, pm)
+    return pm if data.m2l is None else jnp.einsum("lm,myx->lyx", data.m2l, pm,
+                                                  precision=_MODE_PRECISION)
 
 
 def applicable(nl: int, strl) -> bool:

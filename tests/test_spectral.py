@@ -182,4 +182,63 @@ def test_transform_auto_selection():
     assert sp.build_spectral(**kw, dtype=jnp.float64).S is None  # f64 -> fft
     per = sp.build_spectral(nl=1, N=32, L0=1.0, periodic=True,
                             dtype=jnp.float32)
-    assert per.S is None  # periodic keeps the rfft2 basis
+    assert per.S is None  # periodic auto keeps the rfft2 basis
+    # force_matmul (the sharded path) builds a basis for either BC/dtype
+    assert sp.build_spectral(**kw, dtype=jnp.float64,
+                             force_matmul=True).S is not None
+    assert sp.build_spectral(nl=1, N=32, L0=1.0, periodic=True,
+                             dtype=jnp.float64, force_matmul=True).S is not None
+
+
+def test_periodic_matmul_basis_matches_rfft():
+    """The real cos/sin eigenbasis (fourier_matrix) and the rfft2 lowering
+    share the same inverse operator: solves must agree to roundoff."""
+    N, nl = 32, 3
+    kw = dict(nl=nl, N=N, L0=3.0, dh=[0.2, 0.3, 0.5],
+              s_profile=[12.0, 30.0], periodic=True, dtype=jnp.float64)
+    d_fft = sp.build_spectral(**kw)
+    d_mm = sp.build_spectral(**kw, force_matmul=True)
+    assert d_fft.S is None and d_mm.S is not None
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((nl, N, N)))
+    p1 = np.asarray(sp.solve_spectral(d_fft, q))
+    p2 = np.asarray(sp.solve_spectral(d_mm, q))
+    np.testing.assert_allclose(p1, p2, atol=1e-12)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_refine_pass_accuracy(periodic):
+    """bf16+refinement mode: one DEFAULT-precision solve + one f32
+    refinement must solve the same discrete system. On CPU DEFAULT f32 is
+    true f32 so this checks the refinement ALGEBRA (residual/correction in
+    modal space under both BCs); the bf16 error budget is measured on TPU
+    (PERF.md)."""
+    import dataclasses
+    N, nl, L0 = 32, 3, 3.0
+    from msom_tpu.ops.stretch import layer_metrics, stretch as stretch_op
+    dh = np.array([0.2, 0.3, 0.5])
+    s_profile = np.array([12.0, 30.0])
+    _, idh0, idh1 = layer_metrics(dh)
+    bc = BC.PERIODIC if periodic else BC.DIRICHLET
+    data = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=s_profile,
+                             periodic=periodic, dtype=jnp.float64,
+                             force_matmul=True, refine=True)
+    assert data.refine
+    rng = np.random.default_rng(11)
+    psi_true = jnp.asarray(rng.standard_normal((nl, N, N)))
+    h = L0 / N
+    strl = jnp.asarray(np.broadcast_to(s_profile[:, None, None],
+                                       (nl - 1, N, N)))
+    q = laplacian_g(ghosted(psi_true, bc), h) \
+        + stretch_op(psi_true, strl, idh0, idh1)
+    psi = np.asarray(sp.solve_spectral(data, q))
+    pt = np.asarray(psi_true)
+    if periodic:
+        psi, pt = psi - psi.mean(), pt - pt.mean()
+    np.testing.assert_allclose(psi, pt, atol=1e-9)
+    # refine=False result agrees (same operator, f64)
+    d0 = dataclasses.replace(data, refine=False)
+    psi0 = np.asarray(sp.solve_spectral(d0, q))
+    if periodic:
+        psi0 = psi0 - psi0.mean()
+    np.testing.assert_allclose(psi, psi0, atol=1e-9)
