@@ -122,15 +122,20 @@ def _maybe_restart(path: str | None):
 def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
              max_steps: int | None = None, outdir=None, output=None,
              restart: str | None = "restart.nc", params_text=None,
-             deck: str | None = None):
+             deck: str | None = None, sharded: bool = False, mesh=None):
     """Integrate the qg-node model to cfg.tend with the reference's event
     schedule. Returns (final_state, output).
 
     `deck`: directory holding input_vars_<nl>l_N<N>.nc (N2, psi_pg, mask,
     topo, q_forcing_3d — /root/reference/qg-node/qg_baroclinic_ms.h:478-495);
-    the consumed file is backed up into the output dir."""
+    the consumed file is backed up into the output dir.
+
+    `sharded`: run the owned-node vertex-sharded step (parallel/vshard.py)
+    over `mesh` (default: all local devices, as square as possible) — the
+    reference's MPI domain decomposition (inner-vertex.h)."""
     from msom_tpu.models import qg_node as node
 
+    hooks = hooks or RunHooks()
     deck_nc = None
     if const is None:
         kw = {}
@@ -161,6 +166,9 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
         output.backup_restart(rp)
     if deck_nc:
         output.backup_file(deck_nc)
+    if sharded:
+        return _run_node_sharded(cfg, const, state, hooks, max_steps,
+                                 output, mesh)
     step = jax.jit(node.make_step(cfg))
 
     t = float(state.t)
@@ -214,6 +222,98 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
             break
     output.close()
     return state, output
+
+
+def _default_mesh(n_devices=None):
+    """All local devices on a ('y', 'x') mesh, as square as possible."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    n = len(devs)
+    my = 1
+    for cand in range(int(n ** 0.5), 0, -1):
+        if n % cand == 0:
+            my = cand
+            break
+    return Mesh(np.array(devs).reshape(my, n // my), ("y", "x"))
+
+
+def _run_node_sharded(cfg, const, state, hooks, max_steps, output, mesh):
+    """The run_node event loop on the vertex-sharded step (vshard v2:
+    topography, 3-D forcing, stochastic kick, in-loop wavelet filter)."""
+    import dataclasses as dc
+
+    from msom_tpu.models import qg_node as node
+    from msom_tpu.parallel import vshard
+
+    if mesh is None:
+        mesh = _default_mesh()
+    own0 = vshard.owned_state(state)
+    step, place, csh = vshard.make_node_step_sharded(
+        cfg, mesh, const, np.asarray(state.q), own0)
+    filt = None
+    if cfg.dtflt > 0:
+        filt = vshard.make_node_filter_sharded(cfg, mesh, own0)
+    s = place(own0)
+
+    def full_psi_q(s):
+        psi = vshard.to_full(jnp.asarray(dist.fetch_global(s.psi)))
+        q = vshard.to_full(jnp.asarray(dist.fetch_global(s.q)),
+                           ring_row=jnp.asarray(dist.fetch_global(
+                               csh.ring.q_top)),
+                           ring_col=jnp.asarray(dist.fetch_global(
+                               csh.ring.q_right)))
+        return psi, q
+
+    t = float(dist.fetch_global(s.t))
+    next_out = 0.0
+    next_diag = 0.0 if cfg.dtdiag > 0 else np.inf
+    next_flt = _next_event(t, cfg.dtflt)
+    wrote_header = False
+
+    while True:
+        if t >= next_out - 1e-10:
+            psi_full, q_full = full_psi_q(s)
+            if int(dist.fetch_global(s.i)) == 0:
+                psi_full, _ = node.invert_q(cfg, const, psi_full, q_full)
+            output.write(t, psi=psi_full, q=q_full)
+            if hooks.on_output is not None:
+                hooks.on_output(s, t)
+            s = dc.replace(s, nbar=jnp.asarray(0, jnp.int32))
+            next_out = _next_event(t, cfg.dtout)
+        if cfg.dtdiag > 0 and t >= next_diag - 1e-10:
+            if not wrote_header:
+                output.diag_header()
+                wrote_header = True
+            else:
+                psi_full, q_full = full_psi_q(s)
+                ke, d_ke, f_ke = (float(x) for x in node.diag_1d(
+                    cfg, const, psi_full, q_full, t))
+                output.diag_row(t, ke, d_ke, f_ke)
+            next_diag = _next_event(t, cfg.dtdiag)
+        if cfg.dtflt > 0 and t >= next_flt - 1e-10:
+            s, ring = filt(s, csh)
+            csh = dc.replace(csh, ring=ring)
+            if hooks.on_filter is not None:
+                hooks.on_filter(s, t)
+            next_flt = _next_event(t, cfg.dtflt)
+        if t >= cfg.tend - 1e-10:
+            break
+
+        tnext = min(next_out, next_diag, next_flt, cfg.tend)
+        s, diag = step(s, csh, jnp.asarray(tnext, s.t.dtype))
+        t = float(dist.fetch_global(s.t))
+        i = int(dist.fetch_global(s.i))
+        if t != t:
+            raise FloatingPointError(
+                f"non-finite model time after step {i}: blow-up or NaN "
+                "(check DT/CFL; resume from the last restart.nc)")
+        if hooks.on_log is not None:
+            hooks.on_log(i, float(diag.dt), t, float(diag.ke))
+        if max_steps is not None and i >= max_steps:
+            break
+    output.close()
+    return s, output
 
 
 def run_newqg(cfg, *, lam=None, state=None, hooks: RunHooks | None = None,
@@ -345,6 +445,9 @@ def main(argv=None):
                    help="deck directory with input_vars_<nl>l_N<N>.nc; "
                         "defaults to the config's directory")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="vertex-sharded step over all local devices "
+                        "(parallel/vshard.py; qg-node model only)")
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -370,7 +473,7 @@ def main(argv=None):
         else:
             run_node(cfg, hooks=stdout_hooks(), max_steps=args.steps,
                      outdir=args.outdir, restart=args.restart,
-                     params_text=text, deck=deck)
+                     params_text=text, deck=deck, sharded=args.sharded)
 
 
 if __name__ == "__main__":

@@ -29,9 +29,16 @@ solvers.vmg arithmetic term-for-term (same association order), so a
 sharded step equals the single-device step bit-for-bit —
 tests/test_shard_vertex.py asserts exact equality on the 8-device CPU mesh.
 
-v1 scope (asserted): no topography, no 3-D forcing, no stochastic kick,
-default zero psi_pg allowed (its ghosts are zero); the wavelet filter event
-stays on the gathered/GSPMD path.
+Full-model scope (v2): topography (its dropped ring rides replicated like
+the q ring), 3-D forcing (owned tiles), the stochastic kick (the
+spatially-correlated noise field is generated REPLICATED from the shared
+per-step key and each device slices its tile — bitwise-equal to the
+unsharded draw; the wavelet pyramid it runs is O(N^2) redundant work, paid
+only when cfg.stochastic), and the in-loop masked wavelet filter
+(make_node_filter_sharded): fine pyramid levels stay domain-decomposed
+with ppermute-halo prolongation, the tail below the shard_mg threshold
+runs replicated — the filter also re-freezes the dropped q ring, which
+comp_q rewrites from the filtered psi.
 """
 
 from __future__ import annotations
@@ -367,32 +374,60 @@ class VertexShardConst:
     yv: jnp.ndarray
     vlevels: Any                 # mixed owned/full VLevel list
     ring: VertexRing             # frozen q ring (replicated)
+    topo: jnp.ndarray | None     # owned (N, N) bottom topography
+    topo_top: jnp.ndarray | None   # (N,): topo[N, :N] dropped-ring row
+    topo_right: jnp.ndarray | None  # (N,): topo[:N, N]
+    q_forcing_3d: jnp.ndarray | None  # owned (nl, N, N)
+    mask_full: jnp.ndarray | None  # replicated (N+1, N+1), stochastic only
+    sig_lev_c: tuple | None      # centered filter-weight pyramid
+    mask_c: tuple | None         # centered mask pyramid
     idh0: tuple
     idh1: tuple
     sharded_flags: tuple
+    wl_flags: tuple | None       # per-level sharded flags, centered pyramid
 
 
 jax.tree_util.register_dataclass(
     VertexShardConst,
-    data_fields=["mask", "psi_pg", "S2", "yv", "vlevels", "ring"],
-    meta_fields=["idh0", "idh1", "sharded_flags"])
+    data_fields=["mask", "psi_pg", "S2", "yv", "vlevels", "ring", "topo",
+                 "topo_top", "topo_right", "q_forcing_3d", "mask_full",
+                 "sig_lev_c", "mask_c"],
+    meta_fields=["idh0", "idh1", "sharded_flags", "wl_flags"])
+
+
+def _pyramid_flags(N: int, my: int, mx: int) -> tuple:
+    """Sharded flag per centered-pyramid level l = 0..depth (size 2^l),
+    using the shard_mg threshold."""
+    from msom_tpu.parallel import shard_mg
+    depth = int(round(np.log2(N)))
+    return tuple(shard_mg.level_is_sharded(2 ** l, my, mx)
+                 for l in range(depth + 1))
 
 
 def shard_const(cfg, const: node.NodeQGConstants, q0_full, my, mx
                 ) -> VertexShardConst:
     """Convert full-rep NodeQGConstants (+ the initial q for its frozen
     ring) into the owned-rep sharded const."""
-    assert np.allclose(np.asarray(const.topo), 0.0), \
-        "sharded vertex step v1: no topography"
-    assert const.q_forcing_3d is None, "sharded vertex step v1: no 3-D forcing"
     levels, flags = prepare_vlevels(const.vlevels, my, mx)
     ring = VertexRing(q_top=jnp.asarray(q0_full[..., -1, :-1]),
                       q_right=jnp.asarray(q0_full[..., :-1, -1]))
+    has_topo = not np.allclose(np.asarray(const.topo), 0.0)
+    wl_flags = None
+    if cfg.dtflt > 0:
+        wl_flags = _pyramid_flags(cfg.N, my, mx)
     return VertexShardConst(
         mask=to_owned(const.mask), psi_pg=to_owned(const.psi_pg),
         S2=None if const.S2 is None else to_owned(const.S2),
         yv=to_owned(const.yv), vlevels=levels, ring=ring,
-        idh0=const.idh0, idh1=const.idh1, sharded_flags=flags)
+        topo=to_owned(const.topo) if has_topo else None,
+        topo_top=jnp.asarray(const.topo[..., -1, :-1]) if has_topo else None,
+        topo_right=jnp.asarray(const.topo[..., :-1, -1]) if has_topo else None,
+        q_forcing_3d=None if const.q_forcing_3d is None
+        else to_owned(const.q_forcing_3d),
+        mask_full=const.mask if cfg.stochastic else None,
+        sig_lev_c=const.sig_lev_c, mask_c=const.mask_c,
+        idh0=const.idh0, idh1=const.idh1, sharded_flags=flags,
+        wl_flags=wl_flags)
 
 
 def _specs_const(c: VertexShardConst, my, mx):
@@ -405,11 +440,25 @@ def _specs_const(c: VertexShardConst, my, mx):
             return P(*([None] * (x.ndim - 2) + ["y", "x"]))
         return P()
     specs = jax.tree.map(rule, c)
-    # The VertexRing is replicated by construction (ring_slices/vghost slice
-    # it with global offsets): force P() so an (nl, N) leaf with nl % my == 0
-    # can never be mesh-sharded by the generic rule above.
-    return dataclasses.replace(
+    # The VertexRing (and the topo ring / full-grid stochastic mask) are
+    # replicated by construction (ring_slices/vghost slice them with global
+    # offsets): force P() so an (nl, N) leaf with nl % my == 0 can never be
+    # mesh-sharded by the generic rule above.
+    specs = dataclasses.replace(
         specs, ring=jax.tree.map(lambda _: P(), c.ring))
+    if c.mask_full is not None:
+        specs = dataclasses.replace(specs, mask_full=P())
+    # the centered filter pyramids shard per wl_flags (levels below the
+    # shard_mg threshold stay replicated), not the generic shape rule
+    if c.wl_flags is not None and c.sig_lev_c is not None:
+        def per_level(pyr):
+            return tuple(P("y", "x") if f and hasattr(p, "ndim")
+                         and p.ndim == 2 else P()
+                         for p, f in zip(pyr, c.wl_flags))
+        specs = dataclasses.replace(
+            specs, sig_lev_c=per_level(c.sig_lev_c),
+            mask_c=per_level(c.mask_c))
+    return specs
 
 
 def rhs_pv_sharded(cfg, c: VertexShardConst, q, psi, t, ym="y", xm="x"):
@@ -453,8 +502,15 @@ def rhs_pv_sharded(cfg, c: VertexShardConst, q, psi, t, ym="y", xm="x"):
     idh1 = jnp.asarray(c.idh1, q.dtype).reshape(nl, 1, 1)
     dq = dq.at[:-1].add(-c.S2 * Jd * idh1[:-1])
     dq = dq.at[1:].add(c.S2 * Jd * idh0[1:])
-    dq = dq.at[nl - 1].add(-cfg.hEkb * cfg.f0 / (2 * cfg.dh[nl - 1])
-                           * zeta[nl - 1])
+    # bottom friction + topography (qg_baroclinic_ms.h:150) — one combined
+    # .add, matching the unsharded association order exactly
+    bot = -cfg.hEkb * cfg.f0 / (2 * cfg.dh[nl - 1]) * zeta[nl - 1]
+    if c.topo is not None:
+        topo_top = _local_slice(c.topo_top, xm, nx_l)
+        topo_right = _local_slice(c.topo_right, ym, ny_l)
+        topo_gh = vghost(c.topo, high_row=topo_top, high_col=topo_right)
+        bot = bot - J(psi_gh[nl - 1], topo_gh) * cfg.f0 / cfg.dh[nl - 1]
+    dq = dq.at[nl - 1].add(bot)
     dq = dq + cfg.nu * stretch(zeta, c.S2, c.idh0, c.idh1)
     tmp = _vlap_own(zeta_gh, d)
     tmp = bc_deriv_own(tmp, zeta, cfg.bc_fac, d)
@@ -465,6 +521,8 @@ def rhs_pv_sharded(cfg, c: VertexShardConst, q, psi, t, ym="y", xm="x"):
         dq = dq - cfg.nu4 * (stretch(tmp, c.S2, c.idh0, c.idh1)
                              + _vlap_own(tmp_gh, d))
     dq = dq.at[0].add(qf)
+    if c.q_forcing_3d is not None:
+        dq = dq + c.q_forcing_3d
     return dq * m
 
 
@@ -511,6 +569,21 @@ def diag_1d_sharded(cfg, c: VertexShardConst, psi, q, t, ym="y", xm="x"):
     return ke, d_ke, f_ke
 
 
+def _noise_owned(cfg, c: VertexShardConst, key, my, mx):
+    """The stochastic kick's spatially-correlated noise, bitwise-equal to
+    the unsharded models.qg_node.generate_noise: the full (nl, N+1, N+1)
+    field is generated REPLICATED on every device from the shared key (the
+    wavelet pyramid is redundant O(N^2) work, the price of exactness), and
+    this device slices its owned tile."""
+    full_const = node.NodeQGConstants(
+        mask=c.mask_full, psi_pg=None, S2=None, topo=None,
+        q_forcing_3d=None, sig_lev=None, sig_lev_c=None, mask_c=None,
+        vlevels=None, yv=None, idh0=c.idh0, idh1=c.idh1)
+    full = node.generate_noise(cfg, full_const, key,
+                               (cfg.nl, cfg.N + 1, cfg.N + 1))
+    return halo.local_tile(to_owned(full), my, mx)
+
+
 def make_node_step_sharded(cfg, mesh, const: node.NodeQGConstants, q0_full,
                            state_example: node.NodeQGState):
     """Build (step, place_state, const_sharded): the shard_map'ed qg-node
@@ -519,9 +592,6 @@ def make_node_step_sharded(cfg, mesh, const: node.NodeQGConstants, q0_full,
     step(state, const_sharded, tnext) -> (state, NodeStepDiag), with
     state.q/state.psi in owned rep (owned_state/to_full to convert);
     state_example: an owned-rep state fixing the pytree layout."""
-    assert not cfg.stochastic, "sharded vertex step v1: no stochastic kick"
-    assert cfg.dtflt <= 0, \
-        "sharded vertex step v1: run the wavelet filter on the GSPMD path"
     my, mx = mesh.devices.shape
     DT = cfg.dt_clamped()
     csh = shard_const(cfg, const, q0_full, my, mx)
@@ -542,14 +612,25 @@ def make_node_step_sharded(cfg, mesh, const: node.NodeQGConstants, q0_full,
         dq, psi1, prev, dtm, st = update(state.q, state.psi,
                                          state.dt_prev, state.t)
         dt = dtnext(state.t, tnext, dtm)
+
+        noise = None
+        key = state.key
+        if cfg.stochastic:
+            key, sub = jax.random.split(key)
+            noise = _noise_owned(cfg, c, sub, my, mx)
+
         q_half = state.q + dq * (dt / 2)
+        if cfg.stochastic:
+            q_half = q_half + noise * jnp.sqrt(dt) / 2.0
         dq2, psi2, prev, _, _ = update(q_half, psi1, prev, state.t)
         q_new = state.q + dq2 * dt
+        if cfg.stochastic:
+            q_new = q_new + noise * jnp.sqrt(dt)
 
         ke, d_ke, f_ke = diag_1d_sharded(cfg, c, psi2, q_new, state.t)
         new = node.NodeQGState(q=q_new, psi=psi2, psi_f=state.psi_f,
                                t=state.t + dt, dt_prev=prev, i=state.i + 1,
-                               key=state.key, nbar=state.nbar)
+                               key=key, nbar=state.nbar)
         return new, node.NodeStepDiag(dt=dt, ke=ke, d_ke=d_ke, f_ke=f_ke,
                                       mg_iters=st.iters)
 
@@ -587,3 +668,144 @@ def owned_state(state: node.NodeQGState) -> node.NodeQGState:
     return dataclasses.replace(
         state, q=to_owned(state.q), psi=to_owned(state.psi),
         psi_f=None if state.psi_f is None else to_owned(state.psi_f))
+
+
+# ---------------------------------------------------------------------------
+# sharded masked wavelet filter (the dtflt event under vertex sharding)
+# ---------------------------------------------------------------------------
+
+def _wprolong(coarse, fine_sharded, coarse_sharded, my, mx):
+    """Bilinear prolongation coarse level -> fine level across the
+    sharded/replicated boundary (bitwise-equal to solvers.mg.prolong_bilinear
+    of the assembled global array, the shard_mg contract)."""
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.parallel import shard_mg
+    from msom_tpu.solvers import mg as cmg
+
+    if fine_sharded:
+        if coarse_sharded:
+            return shard_mg._prolong_sharded(coarse, BC.DIRICHLET)
+        return halo.local_tile(cmg.prolong_bilinear(coarse, BC.DIRICHLET),
+                               my, mx)
+    return cmg.prolong_bilinear(coarse, BC.DIRICHLET)
+
+
+def wavelet_sharded(s, wl_flags, mask_c, my, mx):
+    """Masked forward wavelet transform (ops.wavelet.wavelet with a mask
+    pyramid) of an owned centered tile: local 2x2 restriction while the
+    level shards, one all-gather at the replicated-tail crossing."""
+    from msom_tpu.solvers import mg as cmg
+
+    depth = len(wl_flags) - 1
+    pyr = [s]                                  # finest (level depth) first
+    for l in range(depth - 1, -1, -1):
+        r = cmg.restrict_cell(pyr[-1])         # blockwise: local either way
+        if wl_flags[l + 1] and not wl_flags[l]:
+            r = halo.gather_global(r)
+        pyr.append(r)
+    pyr.reverse()                              # pyr[l] = field at level l
+    w = [pyr[0]]
+    for l in range(1, depth + 1):
+        p = _wprolong(pyr[l - 1], wl_flags[l], wl_flags[l - 1], my, mx)
+        w.append(pyr[l] - p)
+    return [wl * ml for wl, ml in zip(w, mask_c)]
+
+
+def inverse_wavelet_sharded(w, wl_flags, mask_c, my, mx):
+    """Masked reconstruction (ops.wavelet.inverse_wavelet)."""
+    s = w[0] * mask_c[0]
+    for l in range(1, len(w)):
+        p = _wprolong(s, wl_flags[l], wl_flags[l - 1], my, mx)
+        s = (p + w[l]) * mask_c[l]
+    return s
+
+
+def comp_q_sharded(cfg, c: VertexShardConst, psi, my, mx,
+                   ym: str = "y", xm: str = "x"):
+    """models.qg_node.comp_q on owned tiles; also returns the re-frozen
+    dropped-ring VertexRing (vertex.bc_deriv's global row/col N values,
+    which change whenever psi does — e.g. after the wavelet filter)."""
+    g = vghost(psi)
+    q = _vlap_own(g, cfg.delta)
+    if cfg.nl > 1:
+        q = q + stretch(psi, c.S2, c.idh0, c.idh1)
+    else:
+        q = q - cfg.iRd2_low * psi
+    q = bc_deriv_own(q, psi, cfg.bc_fac, cfg.delta)
+    cc = 2.0 * cfg.bc_fac / (cfg.delta * cfg.delta)
+    yi, xi = lax.axis_index(ym), lax.axis_index(xm)
+    row = jnp.where(yi == my - 1, psi[..., -1, :],
+                    jnp.zeros_like(psi[..., -1, :]))
+    row = lax.psum(row, ym)                      # global row N-1, this x-slice
+    q_top = cc * lax.all_gather(row, xm, axis=row.ndim - 1, tiled=True)
+    col = jnp.where(xi == mx - 1, psi[..., :, -1],
+                    jnp.zeros_like(psi[..., :, -1]))
+    col = lax.psum(col, xm)
+    q_right = cc * lax.all_gather(col, ym, axis=col.ndim - 1, tiled=True)
+    # ring corners stay zero (vertex.bc_deriv corner=0)
+    q_top = q_top.at[..., 0].set(0.0)
+    q_right = q_right.at[..., 0].set(0.0)
+    return q, VertexRing(q_top=q_top, q_right=q_right)
+
+
+def make_node_filter_sharded(cfg, mesh, state_example: node.NodeQGState):
+    """Build the shard_map'ed dtflt wavelet-filter event
+    (models.qg_node.wavelet_filter on owned-rep tiles).
+
+    filter(state, const_sharded) -> (state, new_ring): the caller must
+    replace const_sharded.ring with new_ring (comp_q re-freezes the dropped
+    q ring from the filtered psi)."""
+    my, mx = mesh.devices.shape
+    from msom_tpu.parallel import shard_mg
+    assert shard_mg.level_is_sharded(cfg.N, my, mx), \
+        "sharded filter: finest level must shard (use the unsharded filter)"
+
+    def local_filter(state, c):
+        psi, _ = vpoisson_sharded(
+            state.psi, state.q, levels=c.vlevels,
+            sharded_flags=c.sharded_flags, my=my, mx=mx,
+            idh0=c.idh0, idh1=c.idh1, tolerance=cfg.TOLERANCE)
+        psi = bc_psi_own(psi)
+        # vertex -> centered average (qg_baroclinic_ms.h:369-371)
+        g = vghost(psi)
+        pc = 0.25 * (psi + g.shift(1, 0) + g.shift(0, 1) + g.shift(1, 1))
+        w = wavelet_sharded(pc, c.wl_flags, c.mask_c, my, mx)
+        w = [wl * sl for wl, sl in zip(w, c.sig_lev_c)]
+        pl = inverse_wavelet_sharded(w, c.wl_flags, c.mask_c, my, mx)
+        # centered -> vertex: average of the 4 surrounding cells (:385)
+        gpl = vghost(pl)
+        psi_loc = 0.25 * (gpl.shift(-1, -1) + gpl.shift(0, -1)
+                          + gpl.shift(-1, 0) + pl)
+        psi_f = (state.psi_f * state.nbar + psi_loc / cfg.dtflt) \
+            / (state.nbar + 1)
+        psi_new = (psi - psi_loc) * c.mask
+        q_new, ring_new = comp_q_sharded(cfg, c, psi_new, my, mx)
+        new = dataclasses.replace(state, psi=psi_new, q=q_new, psi_f=psi_f,
+                                  nbar=state.nbar + 1)
+        return new, ring_new
+
+    def _state_specs(st):
+        def rule(x):
+            if (hasattr(x, "ndim") and x.ndim >= 2
+                    and x.shape[-1] % mx == 0 and x.shape[-2] % my == 0):
+                return P(*([None] * (x.ndim - 2) + ["y", "x"]))
+            return P()
+        return jax.tree.map(rule, st)
+
+    sspecs = _state_specs(state_example)
+
+    def build(csh):
+        cspecs = _specs_const(csh, my, mx)
+        ring_specs = jax.tree.map(lambda _: P(), csh.ring)
+        return jax.jit(shard_map(
+            local_filter, mesh=mesh, in_specs=(sspecs, cspecs),
+            out_specs=(sspecs, ring_specs), check_vma=False))
+
+    cache = {}
+
+    def filter_fn(state, csh):
+        if "f" not in cache:
+            cache["f"] = build(csh)
+        return cache["f"](state, csh)
+
+    return filter_fn

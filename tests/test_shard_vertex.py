@@ -166,3 +166,116 @@ def test_rhs_and_cfl_sharded_exact():
                                       np.asarray(dq1)[..., :-1, :-1],
                                       err_msg=f"nl={nl} bc_fac={bc_fac}")
         assert float(dtm8) == float(dtm1)
+
+
+def _smooth(N, k=2, amp=1.0):
+    x = np.linspace(0.0, 1.0, N + 1)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    return amp * np.sin(k * np.pi * X) * np.sin((k + 1) * np.pi * Y)
+
+
+def test_sharded_step_topography_and_3d_forcing():
+    """v2 scope: topography (dropped-ring riding replicated) and a 3-D
+    forcing field, decomposition-invariant and matching the model."""
+    cfg = _cfg(3, 1.0)
+    rng = np.random.default_rng(11)
+    topo = _smooth(cfg.N, amp=0.3)
+    qf3 = 1e-3 * rng.standard_normal((cfg.nl, cfg.N + 1, cfg.N + 1))
+    const = node.build_constants(cfg, topo=topo, q_forcing_3d=qf3)
+    state0 = node.init_state(cfg, const, seed=3)
+    steps = 4
+
+    s11, d11, csh = _run_sharded(cfg, const, state0, (1, 1), steps)
+    s24, d24, _ = _run_sharded(cfg, const, state0, (2, 4), steps)
+    np.testing.assert_array_equal(np.asarray(s24.q), np.asarray(s11.q))
+    np.testing.assert_array_equal(np.asarray(s24.psi), np.asarray(s11.psi))
+
+    step1 = jax.jit(node.make_step(cfg))
+    s1 = state0
+    tnext = jnp.asarray(1e18, state0.t.dtype)
+    for _ in range(steps):
+        s1, d1 = step1(s1, const, tnext)
+    q1 = np.asarray(s1.q)[..., :-1, :-1]
+    scale = np.max(np.abs(q1))
+    assert np.max(np.abs(np.asarray(s24.q) - q1)) < 1e-12 * scale
+    np.testing.assert_allclose(float(d24.dt), float(d1.dt), rtol=1e-12)
+
+
+def test_sharded_step_stochastic_kick():
+    """v2 scope: the Euler-Maruyama kick with spatially-correlated noise —
+    the replicated-noise strategy is bitwise-equal to the unsharded draw."""
+    import dataclasses as dc
+    cfg = dc.replace(_cfg(2, 0.0), stochastic=True, amp_stoch=1e-4,
+                     L_filt_stoch=12.5)
+    const = node.build_constants(cfg)
+    state0 = node.init_state(cfg, const, seed=9)
+    steps = 3
+
+    s11, d11, _ = _run_sharded(cfg, const, state0, (1, 1), steps)
+    s24, d24, _ = _run_sharded(cfg, const, state0, (2, 4), steps)
+    np.testing.assert_array_equal(np.asarray(s24.q), np.asarray(s11.q))
+
+    step1 = jax.jit(node.make_step(cfg))
+    s1 = state0
+    tnext = jnp.asarray(1e18, state0.t.dtype)
+    for _ in range(steps):
+        s1, d1 = step1(s1, const, tnext)
+    q1 = np.asarray(s1.q)[..., :-1, :-1]
+    scale = np.max(np.abs(q1))
+    assert np.max(np.abs(np.asarray(s24.q) - q1)) < 1e-12 * scale
+    # the kick actually fired: keys advanced
+    assert not np.array_equal(np.asarray(s24.key), np.asarray(state0.key))
+
+
+def test_sharded_wavelet_filter():
+    """v2 scope: the in-loop masked wavelet filter under vertex sharding —
+    matches models.qg_node.wavelet_filter and re-freezes the q ring."""
+    import dataclasses as dc
+
+    cfg = dc.replace(_cfg(3, 1.0), dtflt=0.5, Lfmax=30.0, Lfmin=10.0)
+    const = node.build_constants(cfg)
+    state0 = node.init_state(cfg, const, seed=3)
+    steps = 3
+
+    def run(shape):
+        mesh = make_mesh(shape)
+        own0 = vshard.owned_state(state0)
+        step, place, csh = vshard.make_node_step_sharded(
+            cfg, mesh, const, np.asarray(state0.q), own0)
+        filt = vshard.make_node_filter_sharded(cfg, mesh, own0)
+        s = place(own0)
+        tnext = jnp.asarray(1e18, state0.t.dtype)
+        for _ in range(steps):
+            s, d = step(s, csh, tnext)
+        s, ring = filt(s, csh)
+        csh = dc.replace(csh, ring=ring)
+        s, d = step(s, csh, tnext)          # one step on the new ring
+        return s, csh
+
+    s24, c24 = run((2, 4))
+    s42, c42 = run((4, 2))
+    np.testing.assert_array_equal(np.asarray(s24.q), np.asarray(s42.q))
+    np.testing.assert_array_equal(np.asarray(s24.psi_f),
+                                  np.asarray(s42.psi_f))
+    np.testing.assert_array_equal(np.asarray(c24.ring.q_top),
+                                  np.asarray(c42.ring.q_top))
+
+    # unsharded reference trajectory
+    step1 = jax.jit(node.make_step(cfg))
+    s1 = state0
+    tnext = jnp.asarray(1e18, state0.t.dtype)
+    for _ in range(steps):
+        s1, _ = step1(s1, const, tnext)
+    s1 = node.wavelet_filter(cfg, const, s1)
+    ring_want_top = np.asarray(s1.q)[..., -1, :-1]
+    np.testing.assert_allclose(np.asarray(c24.ring.q_top), ring_want_top,
+                               atol=1e-11 * max(np.abs(ring_want_top).max(),
+                                                1e-30))
+    s1, _ = step1(s1, const, tnext)
+    q1 = np.asarray(s1.q)[..., :-1, :-1]
+    scale = np.max(np.abs(q1))
+    assert np.max(np.abs(np.asarray(s24.q) - q1)) < 5e-12 * scale
+    pf1 = np.asarray(s1.psi_f)[..., :-1, :-1]
+    pscale = max(np.max(np.abs(pf1)), 1e-30)
+    assert np.max(np.abs(np.asarray(s24.psi_f) - pf1)) < 1e-10 * pscale
+    assert int(s24.nbar) == int(s1.nbar) == 1
