@@ -121,18 +121,21 @@ def circ_bc_pad(psi: jnp.ndarray, r: float, ys: float, L0: float):
     g_right = 2 * sol[N:2 * N] - psi[:, -1]
     g_top = 2 * sol[2 * N:3 * N][::-1] - psi[-1, :]
     g_left = 2 * sol[3 * N:4 * N][::-1] - psi[:, 0]
-    P = jnp.zeros((N + 2, N + 2), psi.dtype)
-    P = P.at[1:-1, 1:-1].set(psi)
-    P = P.at[0, 1:-1].set(g_bot)
-    P = P.at[-1, 1:-1].set(g_top)
-    P = P.at[1:-1, 0].set(g_left)
-    P = P.at[1:-1, -1].set(g_right)
-    # corners: ghost_x + ghost_y - cell (pg.h:143-157)
-    P = P.at[0, 0].set(g_left[0] + g_bot[0] - psi[0, 0])
-    P = P.at[0, -1].set(g_right[0] + g_bot[-1] - psi[0, -1])
-    P = P.at[-1, 0].set(g_left[-1] + g_top[0] - psi[-1, 0])
-    P = P.at[-1, -1].set(g_right[-1] + g_top[-1] - psi[-1, -1])
-    return P
+    # corners: ghost_x + ghost_y - cell (pg.h:143-157). The padded array is
+    # assembled with concatenations, NOT .at[].set scatters: the XLA SPMD
+    # partitioner miscompiles the scatter form inside a while_loop on
+    # mesh-sharded operands (silently wrong ghost values; jax 0.9.0,
+    # reproduced in tests/test_mspg.py::test_mspg_btsolver_sharded...),
+    # while the concat form partitions correctly — and concat also lowers
+    # better on TPU than scatter.
+    c00 = g_left[0] + g_bot[0] - psi[0, 0]
+    c01 = g_right[0] + g_bot[-1] - psi[0, -1]
+    c10 = g_left[-1] + g_top[0] - psi[-1, 0]
+    c11 = g_right[-1] + g_top[-1] - psi[-1, -1]
+    row_b = jnp.concatenate([c00[None], g_bot, c01[None]])
+    row_t = jnp.concatenate([c10[None], g_top, c11[None]])
+    mid = jnp.concatenate([g_left[:, None], psi, g_right[:, None]], axis=1)
+    return jnp.concatenate([row_b[None, :], mid, row_t[None, :]], axis=0)
 
 
 # ---------------------------------------------------------------------------

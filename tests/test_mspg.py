@@ -181,3 +181,101 @@ def test_gm_velocities():
     ds = 1.0 / cfg.nl
     colsum = np.asarray(jnp.sum(gy * ds, axis=0))
     np.testing.assert_allclose(colsum, 0.0, atol=1e-10)
+
+
+def test_mspg_step_sharded_matches_single():
+    """GSPMD shard-vs-single equality for the PG step on the 8-device CPU
+    mesh (the reference runs mspg under the same MPI decomposition as the
+    QG families, /root/reference/mspg/pg.c:115-118): the circ_bc perimeter
+    concatenations, face-staggered fields (N+1 axes stay unsharded), the
+    batched vertical Thomas solves and the convection scan must all
+    survive XLA auto-partitioning."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = pg_cfg(N=32, nl=4)
+    const = mspg.build_constants(cfg)
+    state0 = mspg.init_state(cfg, const)
+    step = jax.jit(mspg.make_step(cfg))
+    tnext = jnp.asarray(1e9)
+
+    s1 = state0
+    for _ in range(5):
+        s1, d1 = step(s1, const, tnext)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("y", "x"))
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim < 2:
+            return x
+        spec = [None] * x.ndim
+        if x.shape[-2] % 2 == 0:
+            spec[-2] = "y"
+        if x.shape[-1] % 4 == 0:
+            spec[-1] = "x"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    s8 = jax.tree.map(place, state0)
+    c8 = jax.tree.map(place, const)
+    with mesh:
+        for _ in range(5):
+            s8, d8 = step(s8, c8, tnext)
+
+    scale = np.abs(np.asarray(s1.b)).max()
+    assert np.abs(np.asarray(s8.b) - np.asarray(s1.b)).max() < 1e-13 * scale
+    uscale = max(np.abs(np.asarray(s1.ux)).max(), 1e-30)
+    assert np.abs(np.asarray(s8.ux) - np.asarray(s1.ux)).max() < 1e-12 * uscale
+    assert np.abs(np.asarray(s8.uy) - np.asarray(s1.uy)).max() < 1e-12 * uscale
+    np.testing.assert_allclose(float(d8.dt), float(d1.dt), rtol=1e-13)
+
+
+def test_mspg_btsolver_sharded_matches_single():
+    """The init-time barotropic solve (mg.solve_bt with the circ_bc
+    post-cycle hook) under GSPMD sharding reproduces the single-device
+    psibt: the pseudo-SOR relaxation, perimeter Thomas solve and the
+    restriction pyramid are decomposition-safe."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from msom_tpu.solvers import mg
+
+    cfg = pg_cfg(N=32, nl=4)
+    N = cfg.N
+    delta = cfg.L0 / N
+    y = cfg.ys + (np.arange(N) + 0.5) * delta
+    yf = cfg.ys + np.arange(N + 1) * delta
+    X, Y = np.meshgrid((np.arange(N) + 0.5) * delta, y, indexing="xy")
+    wind = cfg.tau0 * (2 * np.pi * Y * np.cos(2 * (Y - cfg.ys) * np.pi))
+    r = cfg.r
+    ax = np.broadcast_to((r / (r**2 + Y[:, 0]**2))[:, None], (N, N + 1))
+    ay = r / (r**2 + yf[:, None]**2) * np.ones((N + 1, N))
+    by = -(r**2 - Y**2) / (r**2 + Y**2)**2
+    bx = np.zeros((N, N))
+    pad_fn = lambda a: mspg.circ_bc_pad(a, cfg.r, cfg.ys, cfg.L0)
+
+    def solve(device_put_fn):
+        args = dict(
+            L0=cfg.L0, alpha_x=device_put_fn(jnp.asarray(ax)),
+            alpha_y=device_put_fn(jnp.asarray(ay)),
+            beta_x=device_put_fn(jnp.asarray(bx)),
+            beta_y=device_put_fn(jnp.asarray(by)),
+            omega=cfg.omega, tolerance=cfg.tol, pad_fn=pad_fn)
+        f = jax.jit(lambda a0, b: mg.solve_bt(a0, b, **args))
+        psibt, st = f(device_put_fn(jnp.zeros((N, N))),
+                      device_put_fn(jnp.asarray(wind)))
+        return np.asarray(psibt), int(st.iters)
+
+    p1, it1 = solve(lambda x: x)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("y", "x"))
+    sh = NamedSharding(mesh, P("y", "x"))
+
+    def put(x):
+        if x.ndim == 2 and x.shape[0] % 2 == 0 and x.shape[1] % 4 == 0:
+            return jax.device_put(x, sh)
+        return x
+
+    with mesh:
+        p8, it8 = solve(put)
+    scale = np.abs(p1).max()
+    assert np.abs(p8 - p1).max() < 1e-12 * scale
+    assert it8 == it1
