@@ -59,31 +59,40 @@ def build(N, nl, dtype, tol, solver="spectral"):
     def chunk(state, const, n):
         def body(s, _):
             s, d = step(s, const, jnp.asarray(1e18, s.t.dtype))
-            return s, d.dt
+            return s, (d.dt, d.mg_iters)
         return jax.lax.scan(body, state, None, length=n)
 
     return cfg, const, state, jax.jit(chunk, static_argnums=2)
 
 
-def measure(N, nl, dtype, tol, solver, steps, pallas_env=None):
-    """Wall seconds per step for one solver configuration."""
+def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200):
+    """(wall seconds per step, mean V-cycles per step) for one solver.
+
+    PINNED PROTOCOL (the mg V-cycle count — and so its wall time — depends
+    on how evolved the state is, so the timing state must be fixed):
+    noise IC -> `spinup` integration steps (default 200; also serves as the
+    compile+warmup) -> ONE timed chunk of `steps` steps on the spun-up
+    state. The mean multigrid V-cycles/step over the timed chunk is
+    recorded next to the wall time (spectral reports 0 — it is a direct
+    solve). The timed call never repeats a byte-identical request (the
+    axon tunnel memoizes identical computations)."""
     saved_pallas = os.environ.get("MSOM_PALLAS")
     if pallas_env is not None:
         os.environ["MSOM_PALLAS"] = pallas_env
     try:
         cfg, const, state, chunk = build(N, nl, dtype, tol, solver)
-        # warmup + compile (same static step count as the timed call); the
-        # timed call runs on the evolved state so no request is a
-        # byte-identical repeat (the axon tunnel memoizes identical
-        # computations).
+        # compile once at the timed chunk length, then finish the spin-up
         state, _ = chunk(state, const, steps)
+        for _ in range(max(spinup - steps, 0) // steps):
+            state, _ = chunk(state, const, steps)
         _ = float(state.q[0, 0, 0])
         t0 = time.time()
-        state, dts = chunk(state, const, steps)
+        state, (dts, iters) = chunk(state, const, steps)
         # force full materialization: block_until_ready on the axon tunnel
         # can return before remote completion, a scalar fetch cannot
         _ = float(state.q[0, 0, 0])
-        return (time.time() - t0) / steps
+        wall = (time.time() - t0) / steps
+        return wall, float(jnp.mean(jnp.asarray(iters, jnp.float32)))
     finally:
         if pallas_env is not None:
             if saved_pallas is None:
@@ -110,16 +119,20 @@ def main():
     if args.quick:
         args.N, args.steps = 512, 10
 
-    walls = {}
+    spinup = 40 if args.quick else 200
+    walls, vcycles = {}, {}
     if args.solver in ("spectral", "both"):
-        walls["spectral"] = measure(args.N, args.nl, args.dtype, args.tol,
-                                    "spectral", args.steps)
+        walls["spectral"], vcycles["spectral"] = measure(
+            args.N, args.nl, args.dtype, args.tol, "spectral", args.steps,
+            spinup=spinup)
     if args.solver in ("mg", "both"):
-        walls["mg"] = measure(args.N, args.nl, args.dtype, args.tol,
-                              "mg", args.steps)
+        walls["mg"], vcycles["mg"] = measure(
+            args.N, args.nl, args.dtype, args.tol, "mg", args.steps,
+            spinup=spinup)
     if args.all:
-        walls["mg_xla"] = measure(args.N, args.nl, args.dtype, args.tol,
-                                  "mg", args.steps, pallas_env="0")
+        walls["mg_xla"], vcycles["mg_xla"] = measure(
+            args.N, args.nl, args.dtype, args.tol, "mg", args.steps,
+            pallas_env="0", spinup=spinup)
 
     best_solver = min(walls, key=walls.get)
     pts = args.N * args.N * args.nl
@@ -133,9 +146,13 @@ def main():
         "solver": best_solver,
         "device": str(jax.devices()[0]),
     }
+    out["protocol"] = (f"noise IC + {spinup}-step spin-up, timed over the "
+                       f"next {args.steps} steps (see measure() docstring)")
     for k, w in walls.items():
         out[f"wall_s_per_step_{k}"] = w
         out[f"pts_per_s_{k}"] = pts / w
+        if k.startswith("mg"):
+            out[f"vcycles_per_step_{k}"] = vcycles[k]
     print(json.dumps(out))
 
 

@@ -107,6 +107,65 @@ def ghosted_slip_sharded(zeta: jnp.ndarray, psi: Ghosted, sbc: float,
     return Ghosted(zeta, gl, gr, gb, gt)
 
 
+def overlap_enabled() -> bool:
+    """Halo/compute overlap toggle (MSOM_HALO_OVERLAP, default on).
+
+    Read at trace time: the sharded solvers pick the overlapped stencil
+    forms below when enabled."""
+    import os
+    return os.environ.get("MSOM_HALO_OVERLAP", "1") != "0"
+
+
+def _rim_sum(bulk, a, g: Ghosted):
+    """Replace the 1-cell rim of a rolled (halo-free) E+W+N+S sum with the
+    ghost-corrected values, preserving the E+W+N+S association order so
+    every cell is bitwise-identical to neighbor_sum(ghosted)."""
+    bot = (jnp.concatenate([a[..., 0, 1:], g.gr[..., :1]], -1)
+           + jnp.concatenate([g.gl[..., :1], a[..., 0, :-1]], -1)
+           + a[..., 1, :] + g.gb[..., 1:-1])
+    top = (jnp.concatenate([a[..., -1, 1:], g.gr[..., -1:]], -1)
+           + jnp.concatenate([g.gl[..., -1:], a[..., -1, :-1]], -1)
+           + g.gt[..., 1:-1] + a[..., -2, :])
+    left = (a[..., 1:-1, 1] + g.gl[..., 1:-1]
+            + a[..., 2:, 0] + a[..., :-2, 0])
+    right = (g.gr[..., 1:-1] + a[..., 1:-1, -2]
+             + a[..., 2:, -1] + a[..., :-2, -1])
+    mid = jnp.concatenate([left[..., :, None], bulk[..., 1:-1, 1:-1],
+                           right[..., :, None]], -1)
+    return jnp.concatenate([bot[..., None, :], mid, top[..., None, :]], -2)
+
+
+def neighbor_sum_overlap_g(g: Ghosted) -> jnp.ndarray:
+    """E + W + N + S from an ALREADY-ISSUED halo exchange, with the
+    interior computed from pure-local rolls (no data dependence on the
+    transfers) and only the 1-cell rim consuming the ghost vectors — the
+    reference's bulk-synchronous `boundary()` becomes independent work
+    XLA's latency-hiding scheduler can run while the ICI transfers are in
+    flight (SURVEY §2.5 overlap note). Bitwise-identical to
+    neighbor_sum(g)."""
+    a = g.a
+    bulk = (jnp.roll(a, -1, -1) + jnp.roll(a, 1, -1)
+            + jnp.roll(a, -1, -2) + jnp.roll(a, 1, -2))
+    return _rim_sum(bulk, a, g)
+
+
+def neighbor_sum_overlap(a: jnp.ndarray, bc: BC, ym: str = "y",
+                         xm: str = "x") -> jnp.ndarray:
+    """neighbor_sum_overlap_g of a fresh ghosted_sharded exchange."""
+    return neighbor_sum_overlap_g(ghosted_sharded(a, bc, ym, xm))
+
+
+def laplacian_overlap_g(g: Ghosted, delta: float) -> jnp.ndarray:
+    """(E + W + N + S - 4C)/delta^2, overlapped (bitwise-identical to
+    laplacian_g(g, delta))."""
+    return (neighbor_sum_overlap_g(g) - 4.0 * g.a) / (delta * delta)
+
+
+def laplacian_overlap(a: jnp.ndarray, bc: BC, delta: float, ym: str = "y",
+                      xm: str = "x") -> jnp.ndarray:
+    return laplacian_overlap_g(ghosted_sharded(a, bc, ym, xm), delta)
+
+
 def pmax2(x, ym: str = "y", xm: str = "x"):
     return lax.pmax(lax.pmax(x, ym), xm)
 

@@ -64,11 +64,19 @@ def level_specs(levels, my: int, mx: int):
 
 
 def _relax_sharded(da, res, lvl, nrelax, bc: BC):
-    """Red-black line relaxation with a ppermute halo refresh per color."""
+    """Red-black line relaxation with a ppermute halo refresh per color.
+    With halo.overlap_enabled() the neighbor sum uses the overlapped form:
+    ppermutes issue first, the interior is computed from local rolls, the
+    rim consumes the ghosts (bitwise-identical either way)."""
     d2 = lvl.delta * lvl.delta
+    overlap = halo.overlap_enabled()
 
     def one_color(da, mask):
-        rhs = -d2 * res + neighbor_sum(halo.ghosted_sharded(da, bc))
+        if overlap:
+            nb = halo.neighbor_sum_overlap(da, bc)
+        else:
+            nb = neighbor_sum(halo.ghosted_sharded(da, bc))
+        rhs = -d2 * res + nb
         x = tridiag.solve_factored(lvl.cp, lvl.im, lvl.t0, rhs)
         return jnp.where(mask, x, da)
 
@@ -81,7 +89,11 @@ def _relax_sharded(da, res, lvl, nrelax, bc: BC):
 
 
 def _residual_sharded(a, b, lvl, bc: BC, idh0, idh1):
-    res = b - laplacian_g(halo.ghosted_sharded(a, bc), lvl.delta)
+    if halo.overlap_enabled():
+        lap = halo.laplacian_overlap(a, bc, lvl.delta)
+    else:
+        lap = laplacian_g(halo.ghosted_sharded(a, bc), lvl.delta)
+    res = b - lap
     if lvl.s is not None:
         res = res - stretch(a, lvl.s, idh0, idh1)
     if lvl.lam is not None:

@@ -100,7 +100,11 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
                 psi_guess, q, levels=const.levels, my=my, mx=mx,
                 idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
         psi_g = halo.ghosted_sharded(psi, bc)
-        zeta = laplacian_g(psi_g, delta)
+        if halo.overlap_enabled():
+            # interior of zeta computes while the psi halos are in flight
+            zeta = halo.laplacian_overlap_g(psi_g, delta)
+        else:
+            zeta = laplacian_g(psi_g, delta)
         zeta_g = ghost_deriv(zeta, psi_g)
         dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None,
                       ghost_deriv_fn=ghost_deriv,
