@@ -94,9 +94,11 @@ class QGConfig:
     #                          or "spectral" (direct modal DST/FFT solve,
     #                          requires spatially-uniform strl; solvers/
     #                          spectral.py). With transform="auto" the f32
-    #                          path uses the MXU matmul DST (~5e-5 max rel.
-    #                          error, PERF.md — far tighter than mg tol 1e-3);
-    #                          transform="fft" is the exact-to-roundoff lowering.
+    #                          path uses the MXU matmul DST at HIGH precision
+    #                          (3-pass bf16: 3.5e-5 max rel. residual at
+    #                          2048^2, tools/refine_error.py — far below mg
+    #                          tol 1e-3); transform="fft" is the
+    #                          exact-to-roundoff lowering.
     transform: str = "auto"  # spectral basis impl: "auto" | "fft" | "matmul"
     #                          (matmul = DST as MXU matmuls; auto picks it for
     #                          f32 at N <= 4096, and it is the only transform

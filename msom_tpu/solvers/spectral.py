@@ -203,13 +203,26 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
 
     # bf16 transforms + one f32 iterative-refinement pass: DEFAULT-precision
     # MXU matmuls for all transform passes (1 bf16 pass each vs HIGH's 3),
-    # then r = q - L psi with the exact f32 5-point stencil and one more
-    # DEFAULT-precision solve of the correction. Error ~ eps_solve^2 —
-    # measured against the f64 solve in tests/test_spectral.py and against
-    # the lockstep oracle (GOLDEN.md); only meaningful for the f32 matmul
-    # path (f64 matmuls ignore precision flags).
+    # then r = q - L psi in modal space and one more DEFAULT-precision
+    # solve of the correction.
+    #
+    # MEASURED on real TPU v5e at 2048^2 x 4 (PERF.md, r3) and REJECTED as
+    # a default, on both axes:
+    #  * speed: HIGH solve 6.31 ms, refine 7.35 ms, single DEFAULT 3.13 ms
+    #    (scan-chained) — the end-to-end DEFAULT solve costs ~half of HIGH
+    #    (fixed non-MXU overhead), so any two-solve refinement scheme
+    #    loses to one HIGH solve;
+    #  * accuracy: at N = 2048 the bf16 input rounding is amplified by the
+    #    Poisson conditioning (~(N/pi)^2) — DEFAULT sol_err 0.69 relative,
+    #    and ONE refinement pass does not contract it (0.63; the correction
+    #    solve has the same DEFAULT-grade error on a same-norm system), vs
+    #    HIGH 2.1e-3 with residual 3.5e-5 << the reference tol 1e-3
+    #    (tools/refine_error.py).
+    # Default is therefore the single HIGH-precision solve. refine=True
+    # remains for small N where the conditioning is mild (on CPU f32 the
+    # algebra is validated by tests/test_spectral.py).
     if refine == "auto":
-        refine = bool(S is not None and jnp.dtype(dtype).itemsize == 4)
+        refine = False
     return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
                         S=S, iBu=jnp.asarray(iBu, dtype), periodic=periodic,
                         delta=h, refine=bool(refine))

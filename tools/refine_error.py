@@ -104,14 +104,17 @@ def main():
     }
     q32 = jnp.asarray(q64, jnp.float32)
 
-    solve_j = jax.jit(sp.solve_spectral, static_argnames=())
     for name, data in modes.items():
+        # fresh jit per mode: a shared jax.jit(sp.solve_spectral) would hit
+        # the "high" trace for "default" (same avals + static meta) and the
+        # _MM_PRECISION patch would never enter a trace (r3 tool fix)
+        solve_j = jax.jit(lambda d, q: sp.solve_spectral(d, q))
         if name == "default":
             old = sp._MM_PRECISION
             sp._MM_PRECISION = jax.lax.Precision.DEFAULT
         try:
             psi = solve_j(data, q32)
-            psi.block_until_ready()
+            _ = float(psi[0, 0, 0])
             t0 = time.time()
             psi = solve_j(data, q32 * (1.0 + 1e-7))
             _ = float(psi[0, 0, 0])
