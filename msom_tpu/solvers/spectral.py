@@ -272,7 +272,14 @@ def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
             r = modal_residual(data, qm, pm)
             pm = pm + _mm_solve(data, r, jax.lax.Precision.DEFAULT)
         else:
-            pm = _mm_solve(data, qm, _MM_PRECISION)
+            from msom_tpu.solvers import pallas_spectral
+            if pallas_spectral.enabled(qm.dtype, qm.shape[-1]):
+                # fused kernel: all four transform matmuls + the modal
+                # scale in VMEM, HBM sees one read + one write per layer
+                pm = pallas_spectral.fused_mm_solve(data.S, data.inv_den,
+                                                    qm)
+            else:
+                pm = _mm_solve(data, qm, _MM_PRECISION)
     elif data.periodic:
         Q = jnp.fft.rfft2(qm)
         P = Q * data.inv_den.astype(Q.real.dtype)

@@ -242,3 +242,39 @@ def test_refine_pass_accuracy(periodic):
     if periodic:
         psi0 = psi0 - psi0.mean()
     np.testing.assert_allclose(psi, psi0, atol=1e-9)
+
+
+def test_pallas_fused_mm_solve_matches_xla():
+    """The fused Pallas spectral kernel (solvers/pallas_spectral.py,
+    interpret mode on CPU) reproduces the XLA _mm_solve chain and solves
+    the discrete system (residual at f32 roundoff x conditioning)."""
+    import jax
+
+    from msom_tpu.solvers import pallas_spectral
+
+    N, nl, L0 = 128, 3, 80.0
+    dh = np.full(nl, 1.0 / nl)
+    sprof = np.full(nl - 1, (0.003 / 0.025) ** 2)
+    data = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=sprof,
+                             periodic=False, dtype=jnp.float32,
+                             transform="matmul", refine=False)
+    rng = np.random.default_rng(2)
+    qm = jnp.asarray(rng.standard_normal((nl, N, N)), jnp.float32)
+
+    want = sp._mm_solve(data, qm, jax.lax.Precision.HIGH)
+    got = pallas_spectral.fused_mm_solve(np.asarray(data.S),
+                                         np.asarray(data.inv_den), qm,
+                                         interpret=True)
+    scale = float(jnp.max(jnp.abs(want)))
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5 * scale
+
+    # and through the public solve with the kernel forced on
+    import os
+    os.environ["MSOM_PALLAS"] = "interpret"
+    try:
+        psi_k = sp.solve_spectral(data, qm)
+    finally:
+        os.environ.pop("MSOM_PALLAS")
+    psi_x = sp.solve_spectral(data, qm)
+    scale = float(jnp.max(jnp.abs(psi_x)))
+    assert float(jnp.max(jnp.abs(psi_k - psi_x))) < 1e-5 * scale

@@ -101,14 +101,24 @@ def main():
         "high": base,
         "default": dataclasses.replace(base, refine=False),
         "refine": dataclasses.replace(base, refine=True),
+        "fused": base,   # Pallas fused kernel (solvers/pallas_spectral.py)
     }
     q32 = jnp.asarray(q64, jnp.float32)
 
+    import os
     for name, data in modes.items():
         # fresh jit per mode: a shared jax.jit(sp.solve_spectral) would hit
         # the "high" trace for "default" (same avals + static meta) and the
         # _MM_PRECISION patch would never enter a trace (r3 tool fix)
-        solve_j = jax.jit(lambda d, q: sp.solve_spectral(d, q))
+        if name == "fused":
+            from msom_tpu.solvers import pallas_spectral as psx
+            if not psx.enabled(jnp.float32, args.N):
+                continue
+            solve_j = jax.jit(lambda d, q: psx.fused_mm_solve(
+                d.S, d.inv_den, q))
+        else:
+            os.environ["MSOM_PALLAS"] = "0"   # keep xla einsums for these
+            solve_j = jax.jit(lambda d, q: sp.solve_spectral(d, q))
         if name == "default":
             old = sp._MM_PRECISION
             sp._MM_PRECISION = jax.lax.Precision.DEFAULT
@@ -128,6 +138,7 @@ def main():
         rres = np.max(np.abs(res)) / q_scale
         print(f"{name:8s} sol_err={err:.3e} resid={rres:.3e} "
               f"wall={wall * 1e3:.2f} ms")
+    os.environ.pop("MSOM_PALLAS", None)
 
 
 if __name__ == "__main__":
