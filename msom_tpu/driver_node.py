@@ -154,8 +154,11 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
         fields, t0 = read_nc(rp, ["psi"])
         psi = jnp.asarray(fields["psi"].reshape(cfg.nl, cfg.N + 1, cfg.N + 1),
                           jnp.dtype(cfg.dtype))
-        from msom_tpu.ops import vertex
-        psi = vertex.bc_psi(psi)
+        if cfg.periodic:
+            psi = psi[..., :-1, :-1]   # drop the wrapped ring
+        else:
+            from msom_tpu.ops import vertex
+            psi = vertex.bc_psi(psi)
         state = dataclasses.replace(
             state, psi=psi, q=node.comp_q(cfg, const, psi),
             t=jnp.asarray(t0, jnp.dtype(cfg.dtype)))
@@ -167,6 +170,10 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
     if deck_nc:
         output.backup_file(deck_nc)
     if sharded:
+        if cfg.periodic:
+            raise NotImplementedError(
+                "vertex sharding covers wall domains; run periodic "
+                "qg-node configs on the unsharded/GSPMD path")
         return _run_node_sharded(cfg, const, state, hooks, max_steps,
                                  output, mesh)
     step = jax.jit(node.make_step(cfg))
@@ -182,7 +189,8 @@ def run_node(cfg, *, const=None, state=None, hooks: RunHooks | None = None,
         psi = state.psi
         if int(state.i) == 0:
             psi, _ = node.invert_q(cfg, const, state.psi, state.q)
-        output.write(t, psi=psi, q=state.q)
+        output.write(t, psi=node.to_vertex_full(cfg, psi),
+                     q=node.to_vertex_full(cfg, state.q))
         if hooks.on_output is not None:
             hooks.on_output(state, t)
         return dataclasses.replace(state, nbar=jnp.asarray(0, jnp.int32))

@@ -79,6 +79,15 @@ class NodeQGConfig:
             return self.f0 ** 2 / (self.gp_low * self.dh[self.nl - 1])
         return 0.0
 
+    @property
+    def periodic(self):
+        """bc_fac = -1 -> doubly-periodic domain (the reference's
+        experimental option, qg-node/qg.c:117-121, qg.h:74). A periodic
+        vertex grid has N independent nodes per axis (node N == node 0),
+        so the state drops to (nl, N, N) and every operator uses wrap
+        ghosts; the inversion reuses the cell-grid periodic multigrid."""
+        return self.bc_fac == -1
+
     def dt_clamped(self):
         """Viscous + beta CFL clamps (qg.h:511-512)."""
         DT = self.DT
@@ -95,7 +104,14 @@ _NODE_KEYS = {f.name for f in dataclasses.fields(NodeQGConfig)}
 def load_node_config(path_or_text, **overrides) -> NodeQGConfig:
     from msom_tpu.params import _parse_kv
     kv = _parse_kv(path_or_text)
+    # reference grammar (qg-node/qg.c:105-106): the stochastic noise scale
+    # is keyed `L_filt`; the module itself is compile-time (-D_STOCHASTIC)
+    # with amp_stoch = 0 meaning no kick, so amp_stoch != 0 <=> stochastic
+    if "L_filt" in kv:
+        kv.setdefault("L_filt_stoch", float(kv.pop("L_filt")))
     kw = {k: v for k, v in kv.items() if k in _NODE_KEYS}
+    if float(kw.get("amp_stoch", 0.0)) != 0.0:
+        kw.setdefault("stochastic", True)
     if "dh" in kw and not isinstance(kw["dh"], tuple):
         kw["dh"] = (float(kw["dh"]),)
     if "N2" in kw and not isinstance(kw["N2"], tuple):
@@ -159,7 +175,16 @@ def _dtype(cfg):
 
 def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
                     topo=None, q_forcing_3d=None) -> NodeQGConstants:
-    """set_vars + module init (qg.h:404-452, qg_baroclinic_ms.h:449-580)."""
+    """set_vars + module init (qg.h:404-452, qg_baroclinic_ms.h:449-580).
+
+    Periodic mode (bc_fac = -1, qg-node/qg.c:117-121): the grid drops to
+    the N independent nodes per axis, `mask` is None (no walls), and
+    `vlevels` holds the cell-grid periodic multigrid coefficients
+    (solvers/mg.build_layered_coeffs) instead of vertex VLevels."""
+    if cfg.periodic:
+        return _build_constants_periodic(cfg, psi_pg=psi_pg, N2=N2,
+                                         topo=topo,
+                                         q_forcing_3d=q_forcing_3d)
     dt = _dtype(cfg)
     N, nl = cfg.N, cfg.nl
     delta = cfg.delta
@@ -237,9 +262,80 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
         idh1=tuple(float(v) for v in idh1))
 
 
+def _build_constants_periodic(cfg, *, psi_pg=None, N2=None, topo=None,
+                              q_forcing_3d=None) -> NodeQGConstants:
+    from msom_tpu.solvers import mg as cmg
+
+    dt = _dtype(cfg)
+    N, nl = cfg.N, cfg.nl
+    delta = cfg.delta
+    xv = np.arange(N) * delta
+    Xv, Yv = np.meshgrid(xv, xv, indexing="xy")
+    _, idh0, idh1 = layer_metrics(np.asarray(cfg.dh[:nl]))
+
+    psi_pg = jnp.zeros((nl, N, N), dt) if psi_pg is None \
+        else jnp.asarray(psi_pg, dt)
+    S2 = None
+    if nl > 1:
+        if N2 is None:
+            N2a = np.asarray(cfg.N2[:nl - 1], np.float64)[:, None, None] \
+                * np.ones((nl - 1, N, N))
+        else:
+            N2a = np.asarray(N2, np.float64)[:nl - 1]
+        f_var = cfg.f0 + cfg.flag_ms * cfg.beta * (Yv - 0.5 * cfg.L0)
+        S2 = jnp.asarray(f_var**2 / N2a, dt)
+    topo_arr = jnp.zeros((N, N), dt) if topo is None \
+        else jnp.asarray(topo, dt)[..., :N, :N] * cfg.scale_topo
+
+    lam = None
+    if cfg.iRd2_low != 0.0:
+        lam = jnp.full((nl, N, N), -cfg.iRd2_low, dt)
+    clevels = cmg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=S2,
+                                       idh0=idh0, idh1=idh1, lam=lam,
+                                       dtype=dt)
+    sig_lev_c = None
+    if cfg.dtflt > 0:
+        from msom_tpu.ops.wavelet import sig_lev_pyramid
+        xc = (np.arange(N) + 0.5) * delta
+        _, Yc = np.meshgrid(xc, xc, indexing="xy")
+        lf = cfg.Lfmax + (Yc / cfg.L0) * (cfg.Lfmin - cfg.Lfmax)
+        sig_lev_c = tuple(jnp.asarray(s, dt) for s in
+                          sig_lev_pyramid(lf, cfg.L0, highpass=False))
+    return NodeQGConstants(
+        mask=None, psi_pg=psi_pg, S2=S2, topo=topo_arr,
+        q_forcing_3d=None if q_forcing_3d is None
+        else jnp.asarray(q_forcing_3d, dt)[..., :N, :N],
+        sig_lev=None, sig_lev_c=sig_lev_c, mask_c=None,
+        vlevels=clevels, yv=jnp.asarray(Yv, dt),
+        idh0=tuple(float(v) for v in idh0),
+        idh1=tuple(float(v) for v in idh1))
+
+
+def _project_nullspace(cfg, f):
+    """Remove the periodic operator's nullspace component (the global
+    constant across layers; left nullvector = dh weights): the analog of
+    zeroing the barotropic k=0 mode in the spectral solve."""
+    if cfg.iRd2_low != 0.0:
+        return f
+    w = jnp.asarray(cfg.dh[:cfg.nl], f.dtype)
+    wbar = jnp.einsum("l,lyx->", w, f) / (w.sum() * f.shape[-1]
+                                          * f.shape[-2])
+    return f - wbar
+
+
 def comp_q(cfg, const, psi):
     """q = lap(psi) + Gamma(psi) (- iRd2_low*psi barotropic), masked BCs
-    (comp_q_baroclinic :200-211 / comp_q_barotropic :33-39)."""
+    (comp_q_baroclinic :200-211 / comp_q_barotropic :33-39); periodic:
+    wrap ghosts, no ring."""
+    if cfg.periodic:
+        from msom_tpu.ops.bc import BC
+        from msom_tpu.ops.ghost import ghosted, laplacian_g
+        q = laplacian_g(ghosted(psi, BC.PERIODIC), cfg.delta)
+        if cfg.nl > 1:
+            q = q + stretch(psi, const.S2, const.idh0, const.idh1)
+        else:
+            q = q - cfg.iRd2_low * psi
+        return q
     q = vmg._vlap(psi, cfg.delta)
     if cfg.nl > 1:
         q = q + stretch(psi, const.S2, const.idh0, const.idh1)
@@ -250,6 +346,14 @@ def comp_q(cfg, const, psi):
 
 
 def invert_q(cfg, const, psi_guess, q):
+    if cfg.periodic:
+        from msom_tpu.ops.bc import BC
+        from msom_tpu.solvers import mg as cmg
+        psi, st = cmg.solve_layered(
+            psi_guess, _project_nullspace(cfg, q), L0=cfg.L0,
+            idh0=const.idh0, idh1=const.idh1, bc=BC.PERIODIC,
+            tolerance=cfg.TOLERANCE, levels=const.vlevels)
+        return _project_nullspace(cfg, psi), st
     psi, st = vmg.vpoisson(psi_guess, q, levels=const.vlevels,
                            idh0=const.idh0, idh1=const.idh1,
                            tolerance=cfg.TOLERANCE)
@@ -268,10 +372,59 @@ def q_forcing_field(cfg, const, t):
     return amp * jnp.sin(arg)
 
 
+def _rhs_pv_periodic(cfg, const, q, psi, t):
+    """rhs_pv with wrap ghosts on the N-node periodic grid: the same terms
+    as the wall path minus every boundary rule (no mask, no bc_deriv —
+    there are no walls)."""
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.ops.ghost import arakawa_mjac_g, ghosted, laplacian_g
+
+    d = cfg.delta
+    nl = cfg.nl
+    G = lambda f: ghosted(f, BC.PERIODIC)
+
+    def J(p, qq):
+        return arakawa_mjac_g(G(qq), G(p), d)
+
+    def betaterm(p):
+        return cfg.beta * (jnp.roll(p, -1, -1) - jnp.roll(p, 1, -1)) / (2 * d)
+
+    qf = q_forcing_field(cfg, const, t)
+    if nl == 1:
+        dq = (-J(psi, q) - betaterm(psi)
+              - cfg.hEkb * cfg.f0 / (2 * cfg.dh[nl - 1]) * q
+              + qf[None] + cfg.nu * laplacian_g(G(q), d))
+        return dq
+    zeta = laplacian_g(G(psi), d)
+    pp = const.psi_pg
+    dq = -J(psi, zeta) - J(pp, zeta) - betaterm(psi)
+    Jd = (J(psi[:-1], psi[1:]) + J(pp[:-1], psi[1:]) + J(psi[:-1], pp[1:]))
+    idh0 = jnp.asarray(const.idh0, q.dtype).reshape(nl, 1, 1)
+    idh1 = jnp.asarray(const.idh1, q.dtype).reshape(nl, 1, 1)
+    dq = dq.at[:-1].add(-const.S2 * Jd * idh1[:-1])
+    dq = dq.at[1:].add(const.S2 * Jd * idh0[1:])
+    dq = dq.at[nl - 1].add(-cfg.hEkb * cfg.f0 / (2 * cfg.dh[nl - 1])
+                           * zeta[nl - 1]
+                           - J(psi[nl - 1], const.topo) * cfg.f0
+                           / cfg.dh[nl - 1])
+    dq = dq + cfg.nu * stretch(zeta, const.S2, const.idh0, const.idh1)
+    tmp = laplacian_g(G(zeta), d)
+    dq = dq + cfg.nu * tmp
+    if cfg.nu4 != 0.0:
+        dq = dq - cfg.nu4 * (stretch(tmp, const.S2, const.idh0, const.idh1)
+                             + laplacian_g(G(tmp), d))
+    dq = dq.at[0].add(qf)
+    if const.q_forcing_3d is not None:
+        dq = dq + const.q_forcing_3d
+    return dq
+
+
 def rhs_pv(cfg, const, q, psi, t):
     """rhs_pv_baroclinic (qg_baroclinic_ms.h:103-196) / rhs_pv_barotropic
     (qg_barotropic.h:16-29). J(p,q) = arakawa_mjac(q, p) (the qg-node macro
     swaps the roles, giving +J)."""
+    if cfg.periodic:
+        return _rhs_pv_periodic(cfg, const, q, psi, t)
     d = cfg.delta
     nl = cfg.nl
     m = const.mask
@@ -331,6 +484,15 @@ def adjust_dt(cfg, psi, dtmax0, prev):
     """adjust_dt (qg.h:258-284): face velocity from nodal psi differences,
     previous-dt smoothing."""
     d = cfg.delta
+    if cfg.periodic:
+        u1 = jnp.abs(jnp.roll(psi, -1, -2) - psi) / d
+        u2 = jnp.abs(jnp.roll(psi, -1, -1) - psi) / d
+        umax = jnp.maximum(jnp.max(u1), jnp.max(u2))
+        big = jnp.asarray(jnp.finfo(psi.dtype).max / 4, psi.dtype)
+        dtm = jnp.minimum(dtmax0,
+                          jnp.where(umax > 0, cfg.CFL * d / umax, big))
+        dtm = jnp.where(dtm > prev, (prev + 0.1 * dtm) / 1.1, dtm)
+        return dtm, dtm
     u1 = jnp.abs(psi[..., 1:, :] - psi[..., :-1, :]) / d
     u2 = jnp.abs(psi[..., :, 1:] - psi[..., :, :-1]) / d
     umax = jnp.maximum(jnp.max(u1), jnp.max(u2))
@@ -343,15 +505,19 @@ def adjust_dt(cfg, psi, dtmax0, prev):
 def init_state(cfg, const, *, psi0=None, seed=0) -> NodeQGState:
     dt = _dtype(cfg)
     N, nl = cfg.N, cfg.nl
+    npts = N if cfg.periodic else N + 1
     key = jax.random.PRNGKey(seed)
     if psi0 is None:
         key, sub = jax.random.split(key)
-        noise = jax.random.uniform(sub, (nl, N + 1, N + 1), dt, -1., 1.)
+        noise = jax.random.uniform(sub, (nl, npts, npts), dt, -1., 1.)
         psi = cfg.noise_init * (noise
                                 + jnp.sin(2 * jnp.pi * const.yv / cfg.L0))
     else:
         psi = jnp.asarray(psi0, dt)
-    psi = vertex.bc_psi(psi)
+    if cfg.periodic:
+        psi = _project_nullspace(cfg, psi)
+    else:
+        psi = vertex.bc_psi(psi)
     q = comp_q(cfg, const, psi)
     psi_f = jnp.zeros_like(psi) if cfg.dtflt > 0 else None
     return NodeQGState(q=q, psi=psi, psi_f=psi_f, t=jnp.asarray(0.0, dt),
@@ -364,6 +530,16 @@ def diag_1d(cfg, const, psi, q, t):
     """(ke, d_ke, f_ke) as in write_1d_diag (qg.h:381-390); cell-style sum
     over nodes excluding the duplicated boundary (fields are zero there)."""
     d2 = cfg.delta ** 2
+    if cfg.periodic:
+        from msom_tpu.ops.bc import BC
+        from msom_tpu.ops.ghost import ghosted, laplacian_g
+        lap_psi = laplacian_g(ghosted(psi, BC.PERIODIC), cfg.delta)
+        lap_q = laplacian_g(ghosted(q, BC.PERIODIC), cfg.delta)
+        qf = q_forcing_field(cfg, const, t)
+        ke = -jnp.sum(0.5 * psi[0] * lap_psi[0]) * d2
+        d_ke = -cfg.nu * jnp.sum(psi[0] * lap_q[0]) * d2
+        f_ke = -jnp.sum(psi[0] * qf) * d2
+        return ke, d_ke, f_ke
     lap_psi = vmg._vlap(psi, cfg.delta)
     lap_q = vmg._vlap(q, cfg.delta)
     qf = q_forcing_field(cfg, const, t)
@@ -371,6 +547,16 @@ def diag_1d(cfg, const, psi, q, t):
     d_ke = -cfg.nu * jnp.sum(psi[0] * lap_q[0]) * d2
     f_ke = -jnp.sum(psi[0] * qf) * d2
     return ke, d_ke, f_ke
+
+
+def to_vertex_full(cfg, a):
+    """Periodic (.., N, N) owned nodes -> the (.., N+1, N+1) vertex view
+    the reference's NetCDF layout stores (node N == node 0 wrapped);
+    identity for wall domains."""
+    if not cfg.periodic:
+        return a
+    a = jnp.concatenate([a, a[..., :1, :]], axis=-2)
+    return jnp.concatenate([a, a[..., :, :1]], axis=-1)
 
 
 def make_step(cfg: NodeQGConfig):
@@ -423,8 +609,19 @@ def generate_noise(cfg, const, key, shape):
     white = jax.random.normal(key, shape, _dtype(cfg)) * cfg.amp_stoch
     if cfg.L_filt_stoch <= 0:
         return white
-    # centered-grid transform of the (N+1) field's interior N-average
     N = cfg.N
+    if cfg.periodic:
+        r = lambda a, d, ax: jnp.roll(a, d, ax)
+        wc = 0.25 * (white + r(white, -1, -2) + r(white, -1, -1)
+                     + r(r(white, -1, -2), -1, -1))
+        sig = sig_lev_pyramid(np.full((N, N), cfg.L_filt_stoch), cfg.L0,
+                              highpass=True)
+        w = wavelet(wc, BC.PERIODIC)
+        w = tuple(wl * jnp.asarray(sl, wc.dtype) for wl, sl in zip(w, sig))
+        filt = inverse_wavelet(w, BC.PERIODIC)
+        return 0.25 * (filt + r(filt, 1, -2) + r(filt, 1, -1)
+                       + r(r(filt, 1, -2), 1, -1))
+    # centered-grid transform of the (N+1) field's interior N-average
     wc = 0.25 * (white[..., :-1, :-1] + white[..., 1:, :-1]
                  + white[..., :-1, 1:] + white[..., 1:, 1:])
     sig = sig_lev_pyramid(np.full((N, N), cfg.L_filt_stoch), cfg.L0,
@@ -450,6 +647,21 @@ def wavelet_filter(cfg, const, state: NodeQGState) -> NodeQGState:
     from msom_tpu.ops.bc import BC
 
     psi, _ = invert_q(cfg, const, state.psi, state.q)
+    if cfg.periodic:
+        r = lambda a, d, ax: jnp.roll(a, d, ax)
+        pc = 0.25 * (psi + r(psi, -1, -2) + r(psi, -1, -1)
+                     + r(r(psi, -1, -2), -1, -1))
+        w = wavelet(pc, BC.PERIODIC)
+        w = tuple(wl * sl for wl, sl in zip(w, const.sig_lev_c))
+        pl = inverse_wavelet(w, BC.PERIODIC)
+        psi_loc = 0.25 * (r(r(pl, 1, -2), 1, -1) + r(pl, 1, -1)
+                          + r(pl, 1, -2) + pl)
+        psi_f = (state.psi_f * state.nbar + psi_loc / cfg.dtflt) \
+            / (state.nbar + 1)
+        psi_new = psi - psi_loc
+        q_new = comp_q(cfg, const, psi_new)
+        return dataclasses.replace(state, psi=psi_new, q=q_new, psi_f=psi_f,
+                                   nbar=state.nbar + 1)
     # vertex -> centered average (:369-371)
     pc = 0.25 * (psi[..., :-1, :-1] + psi[..., 1:, :-1]
                  + psi[..., :-1, 1:] + psi[..., 1:, 1:])

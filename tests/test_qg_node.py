@@ -146,3 +146,74 @@ def test_stochastic_noise_masked():
     n = np.asarray(n)
     assert n.std() > 0
     assert np.allclose(n[:, 0, :], 0.0)  # masked at boundary
+
+
+# ---------------------------------------------------------------------------
+# periodic (bc_fac = -1, the reference's experimental option qg-node/qg.c:117)
+# ---------------------------------------------------------------------------
+
+def _pcfg(nl, **kw):
+    base = dict(N=32, nl=nl, L0=100.0, f0=46.5, beta=0.5, hEkb=1e-3,
+                tau0=1e-3, nu=5.0, dh=tuple([1.0 / nl] * nl),
+                N2=tuple([1.0] * max(nl - 1, 1)), noise_init=1e-3,
+                bc_fac=-1.0, DT=5e-2, tend=1.0, dtout=1.0, CFL=0.2,
+                TOLERANCE=1e-10, dtype="float64")
+    base.update(kw)
+    return qn.NodeQGConfig(**base)
+
+
+@pytest.mark.parametrize("nl", [1, 3])
+def test_periodic_inversion_roundtrip(nl):
+    """invert_q(comp_q(psi)) recovers psi on the periodic N-node grid
+    (nullspace-projected gauge)."""
+    cfg = _pcfg(nl)
+    const = qn.build_constants(cfg)
+    rng = np.random.default_rng(4)
+    psi0 = jnp.asarray(rng.standard_normal((nl, cfg.N, cfg.N)))
+    psi0 = qn._project_nullspace(cfg, psi0)
+    q = qn.comp_q(cfg, const, psi0)
+    psi, st = qn.invert_q(cfg, const, jnp.zeros_like(psi0), q)
+    scale = float(jnp.max(jnp.abs(psi0)))
+    assert float(jnp.max(jnp.abs(psi - psi0))) < 1e-6 * scale
+    assert int(st.iters) < 100
+
+
+def test_periodic_rhs_conserves_integrals():
+    """On the unforced inviscid periodic domain the RHS integrates to zero
+    (Arakawa telescoping + periodic laplacian) layer-thickness-weighted."""
+    cfg = _pcfg(2, nu=0.0, hEkb=0.0, tau0=0.0, beta=0.5)
+    const = qn.build_constants(cfg)
+    state = qn.init_state(cfg, const, seed=5)
+    psi, _ = qn.invert_q(cfg, const, state.psi, state.q)
+    dq = qn.rhs_pv(cfg, const, state.q, psi, jnp.asarray(0.0))
+    w = np.asarray(cfg.dh)
+    tot = float(sum(w[l] * float(jnp.sum(dq[l])) for l in range(cfg.nl)))
+    scale = float(jnp.max(jnp.abs(dq))) * cfg.N ** 2
+    assert abs(tot) < 1e-10 * max(scale, 1e-30)
+
+
+def test_periodic_node_driver_end_to_end(tmp_path):
+    """run_node on a periodic config: vars.nc stores the wrapped (N+1)^2
+    vertex view, the filter and stochastic branches run, diag rows are
+    finite."""
+    import os
+    from msom_tpu.driver_node import run_node
+    from msom_tpu.io.netcdf import read_nc
+
+    cfg = _pcfg(2, N=32, tend=0.6, dtout=0.3, dtdiag=0.3, dtflt=0.4,
+                Lfmax=30.0, Lfmin=10.0, stochastic=True, amp_stoch=1e-5,
+                L_filt_stoch=12.5, TOLERANCE=1e-6)
+    out = str(tmp_path / "p")
+    st, _ = run_node(cfg, outdir=out, restart=None)
+    fields, _ = read_nc(os.path.join(out, "vars.nc"), ["psi", "q"],
+                        time_index=None)
+    assert fields["psi"].shape[-2:] == (33, 33)
+    assert np.all(np.isfinite(fields["psi"]))
+    np.testing.assert_array_equal(fields["psi"][..., -1, :-1],
+                                  fields["psi"][..., 0, :-1])
+    np.testing.assert_array_equal(fields["psi"][..., :-1, -1],
+                                  fields["psi"][..., :-1, 0])
+    lines = open(os.path.join(out, "diag_1d.dat")).read().strip().split("\n")
+    rows = np.array([[float(v) for v in ln.split(",")] for ln in lines[1:]])
+    assert np.all(np.isfinite(rows))
+    assert float(st.t) == pytest.approx(0.6, abs=1e-9)
