@@ -372,12 +372,19 @@ def _ghost_deriv(cfg, field, parent_g: Ghosted) -> Ghosted:
 
 
 def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
-        zeta_g: Ghosted, tracers, *, ghost_deriv_fn=None, ghost_fn=None):
+        zeta_g: Ghosted, tracers, *, ghost_deriv_fn=None, ghost_fn=None,
+        from_padded_fn=None):
     """Full tendency assembly (update_qg, /root/reference/msqg/qg.h:609-650).
 
     Returns (dq, dtracers). The advected vorticity is zeta (advection_pv is
     called with zetal in the qol slot, qg.h:623), with the stretching-Jacobian
-    cascade supplying the remaining part of J(psi, q)."""
+    cascade supplying the remaining part of J(psi, q).
+
+    `from_padded_fn` builds the Ghosted view of the PADDED constant fields
+    (pp/zetap/topo, whose ghosts carry custom boundary laws precomputed at
+    setup): the default reads the global padded array; the explicit sharded
+    step passes a window-slicer that cuts this device's (tile + ghost ring)
+    window out of the replicated padded constant (parallel/step.py)."""
     d = cfg.delta
     nl = cfg.nl
     mj = arakawa_mjac_g
@@ -385,8 +392,10 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
         ghost_deriv_fn = lambda f, parent: _ghost_deriv(cfg, f, parent)
     if ghost_fn is None:
         ghost_fn = ghosted
+    if from_padded_fn is None:
+        from_padded_fn = ghosted_from_padded
     have_pg = const.pp_pad is not None
-    pp = ghosted_from_padded(const.pp_pad) if have_pg else None
+    pp = from_padded_fn(const.pp_pad) if have_pg else None
     dq = jnp.zeros_like(q)
 
     if nl > 1:
@@ -414,7 +423,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
             dq = dq.at[:-1].add(const.strl * J * idh1[:-1])
             dq = dq.at[1:].add(-const.strl * J * idh0[1:])
         if cfg.flsrv == 1 and const.zetap_pad is not None:
-            dq = dq + mj(psi_g, ghosted_from_padded(const.zetap_pad), d)
+            dq = dq + mj(psi_g, from_padded_fn(const.zetap_pad), d)
         if cfg.stochastic:
             dq = dq - q * cfg.itr_stoch
     # nl == 1: advection contributes nothing (msqg/qg.h:376-379)
@@ -456,7 +465,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
     # bottom topography (/root/reference/msqg/qg.h:480-488)
     if const.topo_pad is not None:
         dq = dq.at[nl - 1].add(
-            mj(psi_g[nl - 1], ghosted_from_padded(const.topo_pad), d)
+            mj(psi_g[nl - 1], from_padded_fn(const.topo_pad), d)
             / (const.Ro * dh[nl - 1]))
 
     # passive tracers (ptr_rhs, /root/reference/msqg/qg.h:573-588)
@@ -476,7 +485,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
 
 
 def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
-              prev, *, reduce_fn=None):
+              prev, *, reduce_fn=None, from_padded_fn=None):
     """CFL controller chain: timestep() called per layer for psi then pp, all
     sharing the `previous` smoothing state (advection_pv,
     /root/reference/msqg/qg.h:383-391; Basilisk timestep.h semantics, cf.
@@ -492,9 +501,11 @@ def cfl_dtmax(cfg: QGConfig, const: QGConstants, psi_g: Ghosted, dtmax0,
     # pp == 0 iterations are exact no-ops (umax = 0 -> dt_cfl = big -> dtm
     # unchanged, and the smoothing branch dtm > prev is false since prev was
     # just set to dtm), so they are skipped when pp is pruned.
+    if from_padded_fn is None:
+        from_padded_fn = ghosted_from_padded
     umax_psi = max_face_speed_layers(psi_g, d)           # (nl,)
     umax_pp = None if const.pp_pad is None else \
-        max_face_speed_layers(ghosted_from_padded(const.pp_pad), d)
+        max_face_speed_layers(from_padded_fn(const.pp_pad), d)
     return cfl_from_umax(cfg, umax_psi, umax_pp, dtmax0, prev,
                          reduce_fn=reduce_fn)
 

@@ -10,9 +10,13 @@ Usage:
     state, const = place(state), place(const)
     state, diag = step(state, const, tnext)   # jit-able
 
-Supported configuration (v1): the uncoupled free-slip/periodic msqg core —
-no pp coupling, no topography, no tracers, non-modal inversion. Everything
-else falls back to the GSPMD path, which supports the full model.
+Supported configuration (v2): the full msqg model except the modal
+(mode_pv_invert) inversion — the PG coupling, large-scale relative
+vorticity and topography constants ride REPLICATED in padded form, each
+device slicing its (tile + ghost) window locally (their ghosts carry
+custom precomputed boundary laws, so no ppermute is needed for constant
+fields); passive tracers shard and advance like q. The modal inversion
+falls back to the GSPMD path.
 """
 
 from __future__ import annotations
@@ -61,15 +65,26 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     (solver="spectral", spectral_shard.solve_spectral_sharded — the
     production fast path; the basis data is rebuilt here with
     force_matmul=True so both BC bases shard)."""
-    assert const_example.pp_pad is None, "sharded step v1: no PG coupling"
-    assert const_example.topo_pad is None, "sharded step v1: no topography"
-    assert state_example.tracers is None, "sharded step v1: no tracers"
     assert not (cfg.mode_pv_invert and const_example.iBu is not None), \
-        "sharded step v1: layered (non-modal) inversion"
+        "sharded step: layered (non-modal) inversion"
     my, mx = mesh.devices.shape
     bc = m._bc_psi(cfg)
     DT = cfg.dt_clamped()
     delta = cfg.delta
+    ny_l, nx_l = cfg.N // my, cfg.N // mx
+
+    def from_padded_local(p_pad):
+        """Ghosted view of this device's tile cut from a REPLICATED padded
+        constant (pp/zetap/topo carry custom precomputed ghost laws): the
+        (tile + 1-ghost) window starts at padded index (tile origin), so
+        neighbor-tile data doubles as the interior ghosts — no ppermute
+        needed for constant fields."""
+        from msom_tpu.ops.ghost import ghosted_from_padded
+        yi, xi = lax.axis_index("y"), lax.axis_index("x")
+        zero = jnp.zeros((), yi.dtype)
+        start = [zero] * (p_pad.ndim - 2) + [yi * ny_l, xi * nx_l]
+        size = list(p_pad.shape[:-2]) + [ny_l + 2, nx_l + 2]
+        return ghosted_from_padded(lax.dynamic_slice(p_pad, start, size))
 
     sd = None
     if cfg.solver == "spectral":
@@ -89,7 +104,7 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             return halo.ghosted_sharded(f, BC.PERIODIC)
         return halo.ghosted_slip_sharded(f, parent_g, cfg.sbc, delta)
 
-    def update(const, sdl, q, psi_guess, prev):
+    def update(const, sdl, q, psi_guess, tr, prev):
         if sdl is not None:
             psi = spectral_shard.solve_spectral_sharded(sdl, q)
             z = jnp.zeros((), q.dtype)
@@ -106,15 +121,19 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
         else:
             zeta = laplacian_g(psi_g, delta)
         zeta_g = ghost_deriv(zeta, psi_g)
-        dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None,
-                      ghost_deriv_fn=ghost_deriv,
-                      ghost_fn=lambda f, b: halo.ghosted_sharded(f, b))
+        dq, dtr = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, tr,
+                        ghost_deriv_fn=ghost_deriv,
+                        ghost_fn=lambda f, b: halo.ghosted_sharded(f, b),
+                        from_padded_fn=from_padded_local)
         dtm, prev = m.cfl_dtmax(cfg, const, psi_g, DT, prev,
-                                reduce_fn=halo.pmax2)
-        return dq, psi, prev, dtm, st
+                                reduce_fn=halo.pmax2,
+                                from_padded_fn=from_padded_local)
+        return dq, dtr, psi, prev, dtm, st
 
     def local_step(state, const, sdl, tnext):
         q0 = state.q
+        tr0 = state.tracers
+        have_tr = tr0 is not None
         key = state.key
         noise = None
         if cfg.stochastic:
@@ -126,27 +145,31 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             noise = cfg.amp_stoch * sigma * jax.random.normal(
                 sub, q0.shape, q0.dtype)
 
-        def substep(q_eval, psi, prev, dt, is_first):
-            dq, psi, prev, dtm, st = update(const, sdl, q_eval, psi, prev)
+        def substep(q_eval, tr_eval, psi, prev, dt, is_first):
+            dq, dtr, psi, prev, dtm, st = update(const, sdl, q_eval, psi,
+                                                 tr_eval, prev)
             if is_first:
                 dt = m.dtnext(state.t, tnext, dtm)
             frac = 0.5 if is_first else 1.0
             q_eval = q0 + dq * (frac * dt)
             if cfg.stochastic:
                 q_eval = q_eval + noise * jnp.sqrt(dt) * frac
-            return q_eval, psi, prev, dt, st
+            if have_tr:
+                tr_eval = tr0 + dtr * (frac * dt)
+            return q_eval, tr_eval, psi, prev, dt, st
 
         zero = jnp.zeros((), q0.dtype)
-        q1, psi1, prev, dt, st1 = substep(q0, state.psi, state.dt_prev,
-                                          zero, True)
-        q2, psi2, prev, dt, st2 = substep(q1, psi1, prev, dt, False)
+        q1, tr1, psi1, prev, dt, st1 = substep(q0, tr0, state.psi,
+                                               state.dt_prev, zero, True)
+        q2, tr2, psi2, prev, dt, st2 = substep(q1, tr1, psi1, prev, dt,
+                                               False)
 
         p0 = psi2[0]
         lap0 = laplacian_g(halo.ghosted_sharded(p0[None], bc), delta)[0]
         ke = halo.psum2(-jnp.sum(0.5 * p0 * lap0)) * delta ** 2
 
         new = m.QGState(q=q2, psi=psi2, t=state.t + dt, dt_prev=prev,
-                        i=state.i + 1, key=key, tracers=None,
+                        i=state.i + 1, key=key, tracers=tr2,
                         qof=state.qof, nbar=state.nbar)
         diag = m.StepDiag(dt=dt, ke=ke, mg_iters=st1.iters, mg_res=st1.resa)
         return new, diag

@@ -123,3 +123,42 @@ def test_sharded_step_matches_single(mesh):
                                atol=1e-14)
     np.testing.assert_allclose(float(d_p.ke), float(d_ref.ke), rtol=1e-12)
     np.testing.assert_allclose(float(d_p.dt), float(d_ref.dt), rtol=1e-12)
+
+
+def test_sharded_step_full_model_matches_single(mesh):
+    """v2 scope: PG coupling (psipg + flsrv large-scale vorticity),
+    topography and passive tracers under the explicit shard_map step —
+    the padded constants ride replicated with per-device window slicing,
+    tracers shard and advance like q."""
+    N, nl = 64, 3
+    cfg = QGConfig(N=N, nl=nl, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
+                   Re4=391, beta=0.5, Fr=(0.0023669, 0.0076173),
+                   dh=(0.06, 0.14, 0.8), DT=5e-2, tend=500.0, dtout=1.0,
+                   CFL=0.6, flsrv=1, nptr=2, Pe=(1e3, 1e3),
+                   ptr_r=(100.0, 0.0), dtype="float64").validate()
+    rng = np.random.default_rng(7)
+    x = (np.arange(N) + 0.5) * cfg.L0 / N
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    psipg = 1e-2 * np.stack([np.sin(2 * np.pi * Y / cfg.L0) * (l + 1)
+                             for l in range(nl)])
+    topo = 0.05 * np.sin(2 * np.pi * X / cfg.L0) \
+        * np.sin(4 * np.pi * Y / cfg.L0)
+    const = m.build_constants(cfg, psipg=psipg, topo=topo)
+    assert const.pp_pad is not None and const.topo_pad is not None
+    state0 = m.init_state(cfg, const, seed=1)
+    assert state0.tracers is not None
+
+    step_sh, place = make_qg_step_sharded(cfg, mesh, state0, const)
+    step1 = m.make_step(cfg)
+    tnext = jnp.asarray(1e9, state0.t.dtype)
+    s_ref, s_p = state0, place(state0)
+    const_sh = place(const)
+    for _ in range(3):
+        s_ref, d_ref = step1(s_ref, const, tnext)
+        s_p, d_p = step_sh(s_p, const_sh, tnext)
+    np.testing.assert_allclose(np.asarray(s_p.q), np.asarray(s_ref.q),
+                               atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s_p.tracers),
+                               np.asarray(s_ref.tracers), atol=1e-14)
+    np.testing.assert_allclose(float(d_p.dt), float(d_ref.dt), rtol=1e-12)
+    np.testing.assert_allclose(float(d_p.ke), float(d_ref.ke), rtol=1e-11)
