@@ -37,35 +37,58 @@ def default_interpret() -> bool:
 def enabled(dtype, N: int) -> bool:
     """Route the spectral matmul solve through the fused kernel?
 
-    MSOM_PALLAS forces: "0" off, "1"/"interpret" on. Default: compiled TPU,
-    f32, 128 <= N <= 2048 (per-layer VMEM working set), N % 128 == 0."""
+    OPT-IN (MSOM_PALLAS="1" or "interpret"), not the default — MEASURED on
+    TPU v5e and rejected as a default on both ends of the size range
+    (PERF.md round-3):
+      * N = 2048 (flagship): the per-layer working set (double-buffered
+        in/out windows + the f32 intermediate + the bf16 operand splits)
+        needs 160 MB of VMEM vs the 128 MB available — compile fails;
+      * N = 1024 (where it fits): 1.47 ms/solve vs the XLA einsum path's
+        1.36 ms — XLA's dot pipelining + epilogue fusion already covers
+        the intermediate HBM traffic this kernel set out to save, and the
+        in-kernel hi/lo operand splits add VPU work XLA's native
+        HIGH-precision dots get for free.
+    Error class matches the HIGH path (6.4e-5 max rel diff at 1024).
+    Kept as infrastructure: the measurement, the 3-pass bf16 decomposition
+    and the chain structure are the starting point for a future blocked
+    two-stage variant if transform sizes outgrow XLA's scheduler."""
     mode = os.environ.get("MSOM_PALLAS", "")
-    if mode == "0":
-        return False
-    shape_ok = 128 <= N <= 2048 and N % 128 == 0 \
+    shape_ok = 128 <= N <= 1024 and N % 128 == 0 \
         and jnp.dtype(dtype) == jnp.float32
     if mode in ("1", "interpret"):
         return shape_ok
-    # single device only: the GSPMD multi-chip path keeps the XLA einsums
-    # (the explicit-collective path uses parallel/spectral_shard.py)
-    return (shape_ok and jax.default_backend() == "tpu"
-            and jax.device_count() == 1)
+    return False
 
 
-def _kernel(S_ref, q_ref, D_ref, o_ref, *, precision):
-    S = S_ref[...]
-    q = q_ref[0]
-    dot = functools.partial(jax.lax.dot_general, precision=precision,
-                            preferred_element_type=jnp.float32)
+def _split(x):
+    """f32 -> (hi, lo) bf16 pair with x ~= hi + lo (the HIGH-precision
+    operand decomposition; Mosaic's dot lowering only accepts
+    DEFAULT/HIGHEST, so the 3-pass bf16 scheme is spelled out)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(xs, ws, dn):
+    """3-pass bf16 dot with f32 accumulation ~ Precision.HIGH:
+    x@w ~= xh@wh + xh@wl + xl@wh (the xl@wl term is O(eps^2))."""
+    xh, xl = xs
+    wh, wl = ws
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                         preferred_element_type=jnp.float32)
+    return d(xh, wh) + d(xh, wl) + d(xl, wh)
+
+
+def _kernel(S_ref, q_ref, D_ref, o_ref):
+    S = _split(S_ref[...])
     # forward: contract x (last axis of q against last axis of S = S^T on
     # the right), then y — the same contraction order as _mm_solve's
-    # einsums, so the modal coefficients match that path's up to MXU
-    # accumulation order
-    t = dot(q, S, (((1,), (1,)), ((), ())))          # q @ S^T   -> (y, kx)
-    t = dot(S, t, (((1,), (0,)), ((), ())))          # S @ .     -> (ky, kx)
+    # einsums at Precision.HIGH
+    t = _dot3(_split(q_ref[0]), S, (((1,), (1,)), ((), ())))  # q @ S^T
+    t = _dot3(S, _split(t), (((1,), (0,)), ((), ())))         # S @ .
     t = t * D_ref[0]
-    t = dot(S, t, (((0,), (0,)), ((), ())))          # S^T @ .   -> (y, kx)
-    t = dot(t, S, (((1,), (0,)), ((), ())))          # . @ S     -> (y, x)
+    t = _dot3(S, _split(t), (((0,), (0,)), ((), ())))         # S^T @ .
+    t = _dot3(_split(t), S, (((1,), (0,)), ((), ())))         # . @ S
     o_ref[0] = t
 
 
@@ -79,9 +102,8 @@ def fused_mm_solve(S: jnp.ndarray, inv_den: jnp.ndarray, qm: jnp.ndarray,
     if interpret is None:
         interpret = default_interpret()
     nl, N, _ = qm.shape
-    kern = functools.partial(_kernel, precision=jax.lax.Precision.HIGH)
     return pl.pallas_call(
-        kern,
+        _kernel,
         grid=(nl,),
         in_specs=[
             pl.BlockSpec((N, N), lambda l: (0, 0)),

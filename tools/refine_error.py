@@ -111,6 +111,7 @@ def main():
         # the "high" trace for "default" (same avals + static meta) and the
         # _MM_PRECISION patch would never enter a trace (r3 tool fix)
         if name == "fused":
+            os.environ.pop("MSOM_PALLAS", None)   # earlier modes set "0"
             from msom_tpu.solvers import pallas_spectral as psx
             if not psx.enabled(jnp.float32, args.N):
                 continue
