@@ -21,3 +21,22 @@ jax.config.update("jax_enable_x64", True)
 # programs); dialing back backend optimization cuts wall time ~2.5x without
 # changing results (tests compare against NumPy at tight tolerances).
 jax.config.update("jax_disable_most_optimizations", True)
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite jits hundreds of unique programs; XLA:CPU keeps every
+    executable alive and at ~240 accumulated programs its compiler
+    segfaults (reproducibly at the same collection index, exit 139 —
+    resource exhaustion, not a test bug: the same modules pass in any
+    smaller grouping). Per-module cache clearing caps the growth; programs
+    are rarely shared across modules, so the recompile cost is noise."""
+    yield
+    jax.clear_caches()
+    gc.collect()
