@@ -75,6 +75,7 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
 def applicable(cfg, const) -> bool:
     """Static config gate (see module docstring)."""
     return (cfg.sbc == 0.0 and not cfg.stochastic
+            and not getattr(cfg, "energy_conserv", False)
             and const.pp_pad is None and const.zetap_pad is None
             and const.topo_pad is None and const.qforc is None
             and getattr(const, "rhsk", None) is not None)

@@ -248,7 +248,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
 
     # fused Pallas RHS fast path (free-slip, uncoupled, y-profile coeffs)
     rhsk = None
-    if cfg.sbc == 0.0 and not cfg.stochastic:
+    if cfg.sbc == 0.0 and not cfg.stochastic and not cfg.energy_conserv:
         from msom_tpu.models import pallas_rhs
         s_np = None if strl is None else np.asarray(strl)
         sprof = None
@@ -404,7 +404,18 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
         # self-advection in the top layer, drops J(po,po2) from the cascade,
         # and adds linear damping -q/tr_stoch. Every J(., pp) term is pruned
         # statically when pp == 0 (no PG coupling inputs).
-        self_jac = mj(psi_g, zeta_g, d)
+        if cfg.energy_conserv:
+            # ENERGY_CONSERV split (/root/reference/msqg/qg.h:310-340): the
+            # self-advection carries the FULL PV — J(po, qot) with qot = q —
+            # so J(po, po2) drops out of the stretching cascade (it is
+            # already inside J(psi, Gamma(psi))); the discretely
+            # energy-conserving form of the same equations. q takes psi's
+            # ghost law (qol is created with bc_type 0 / periodic,
+            # msqg/qg.h:850).
+            q_g = ghost_fn(q, _bc_psi(cfg))
+            self_jac = mj(psi_g, q_g, d)
+        else:
+            self_jac = mj(psi_g, zeta_g, d)
         if cfg.stochastic:
             self_jac = self_jac.at[0].set(0.0)
         dq = dq + self_jac + beta_effect_g(psi_g, cfg.beta, d)
@@ -414,7 +425,7 @@ def rhs(cfg: QGConfig, const: QGConstants, q, psi, psi_g: Ghosted, zeta,
         J = None
         if have_pg:
             J = mj(pp[:-1], psi_g[1:], d) + mj(psi_g[:-1], pp[1:], d)
-        if not cfg.stochastic:
+        if not cfg.stochastic and not cfg.energy_conserv:
             Jself = mj(psi_g[:-1], psi_g[1:], d)
             J = Jself if J is None else J + Jself
         if J is not None:

@@ -182,6 +182,11 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
     `vlevels` holds the cell-grid periodic multigrid coefficients
     (solvers/mg.build_layered_coeffs) instead of vertex VLevels."""
     if cfg.periodic:
+        if mask is not None and not np.all(np.asarray(mask) == 1.0):
+            raise ValueError(
+                "periodic (bc_fac=-1) configs have no walls: a non-trivial "
+                "mask cannot be applied — drop the mask or use a walled "
+                "config (bc_fac >= 0)")
         return _build_constants_periodic(cfg, psi_pg=psi_pg, N2=N2,
                                          topo=topo,
                                          q_forcing_3d=q_forcing_3d)
@@ -287,8 +292,16 @@ def _build_constants_periodic(cfg, *, psi_pg=None, N2=None, topo=None,
     topo_arr = jnp.zeros((N, N), dt) if topo is None \
         else jnp.asarray(topo, dt)[..., :N, :N] * cfg.scale_topo
 
+    # iRd2_low is a BAROTROPIC-module concept (qg_barotropic.h:36,117):
+    # comp_q only subtracts iRd2_low*psi when nl == 1, so the inversion
+    # operator must carry the matching shift only then (a (nl, N, N) lam
+    # for nl > 1 would silently de-pair invert_q from comp_q).
     lam = None
     if cfg.iRd2_low != 0.0:
+        if nl > 1:
+            raise ValueError(
+                "iRd2_low (gp_low) is only defined for the barotropic "
+                "nl == 1 module (qg_barotropic.h); got periodic nl > 1")
         lam = jnp.full((nl, N, N), -cfg.iRd2_low, dt)
     clevels = cmg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=S2,
                                        idh0=idh0, idh1=idh1, lam=lam,

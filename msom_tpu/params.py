@@ -68,6 +68,14 @@ class QGConfig:
     vpg: Tuple[float, ...] = ()
     varRo: int = 0
     flsrv: int = 0           # advect large-scale relative vorticity
+    energy_conserv: bool = False  # ENERGY_CONSERV advection split
+    #                          (/root/reference/msqg/qg.h:310-340): advect the
+    #                          FULL PV q in the self-advection J(psi, q) and
+    #                          drop J(psi_l, psi_l+1) from the stretching
+    #                          cascade (only the PG cross terms remain) — the
+    #                          discretely energy-conserving form of the same
+    #                          continuous equations (tests/test_lockstep.py::
+    #                          test_energy_conserv_advection)
     # filter
     afilt: float = 10.0
     Lfmax: float = 1e10
@@ -155,6 +163,13 @@ class QGConfig:
                              "(msqg/qg.h:990-996)")
         if self.nl > 1 and len(self.Fr) < self.nl - 1:
             raise ValueError(f"need {self.nl - 1} Froude numbers, got {self.Fr}")
+        if self.energy_conserv and self.stochastic:
+            # the reference's stochastic module replaces advection_pv
+            # wholesale (#ifndef _STOCHASTIC, qg_stochastic.h:17) — the
+            # ENERGY_CONSERV split does not exist there
+            raise ValueError("energy_conserv and stochastic are mutually "
+                             "exclusive (qg_stochastic.h replaces "
+                             "advection_pv)")
         return self
 
 

@@ -135,3 +135,76 @@ def test_mg_path_tracks_exact_within_tolerance():
         relpsi = np.abs(np.asarray(state.psi) - psi).max() / np.abs(psi).max()
         worst = max(worst, relpsi)
     assert worst < 3e-2, f"mg drift {worst:.3e} exceeds tolerance bound"
+
+
+def test_energy_conserv_advection():
+    """ENERGY_CONSERV (/root/reference/msqg/qg.h:310-340): advecting the
+    full PV q in the self-advection (and dropping J(psi_l, psi_l+1) from
+    the stretching cascade) makes the inviscid advection operator conserve
+    BOTH discrete quadratic invariants — energy sum(dh_l psi_l dq_l) and
+    potential enstrophy sum(dh_l q_l dq_l) — to roundoff even when strl
+    varies in space, where the standard split does not (the Jacobian no
+    longer commutes with the spatially-varying stretching coefficient).
+    With uniform strl the two forms are algebraically identical."""
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.ops.ghost import ghosted, laplacian_g
+
+    N, nl = 32, 3
+    y = (np.arange(N) + 0.5) / N
+    frpg = 0.3 + 0.2 * np.sin(2 * np.pi * y)[None, :, None] \
+        * np.ones((nl - 1, N, N))
+    base = dict(N=N, nl=nl, L0=1.0, Rom=0.025, Fr=(0.3, 0.4),
+                dh=(0.2, 0.3, 0.5), dtype="float64", tau0=0.0, Re=0,
+                Re4=0, Ekb=0, Eks=0, beta=0.0)
+
+    def invariant_residuals(ec):
+        cfg = QGConfig(**base, energy_conserv=ec).validate()
+        const = m.build_constants(cfg, frpg=frpg)
+        psi = jax.random.normal(jax.random.PRNGKey(1),
+                                (nl, N, N), jnp.float64)
+        psi = psi - psi.mean(axis=(-2, -1), keepdims=True)
+        q = m.comp_q(cfg, const, psi)
+        psi_g = ghosted(psi, BC.DIRICHLET)
+        zeta = laplacian_g(psi_g, cfg.delta)
+        zeta_g = m._ghost_deriv(cfg, zeta, psi_g)
+        dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None)
+        dh = jnp.asarray(np.asarray(cfg.dh[:nl]))
+        relE = abs(float(jnp.einsum("l,lyx->", dh, psi * dq))) \
+            / float(jnp.einsum("l,lyx->", dh, jnp.abs(psi * dq)))
+        relZ = abs(float(jnp.einsum("l,lyx->", dh, q * dq))) \
+            / float(jnp.einsum("l,lyx->", dh, jnp.abs(q * dq)))
+        return dq, relE, relZ
+
+    dq_std, relE_std, relZ_std = invariant_residuals(False)
+    dq_ec, relE_ec, relZ_ec = invariant_residuals(True)
+    assert relE_ec < 1e-13 and relZ_ec < 1e-13, (relE_ec, relZ_ec)
+    # the standard split genuinely violates both with varying strl
+    assert relE_std > 1e-5 and relZ_std > 1e-5, (relE_std, relZ_std)
+    # and the two tendencies genuinely differ
+    d = float(jnp.max(jnp.abs(dq_ec - dq_std))
+              / jnp.max(jnp.abs(dq_std)))
+    assert d > 1e-3
+
+
+def test_energy_conserv_uniform_strl_identical():
+    """With spatially-uniform strl the EC and standard advection splits are
+    the same algebra (bilinearity of the Arakawa bracket): dq must agree to
+    roundoff — EC changes nothing on the canonical Verron config."""
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.ops.ghost import ghosted, laplacian_g
+
+    dqs = {}
+    for ec in (False, True):
+        cfg = verron(32, energy_conserv=ec)
+        const = m.build_constants(cfg)
+        psi = jax.random.normal(jax.random.PRNGKey(3),
+                                (cfg.nl, cfg.N, cfg.N), jnp.float64)
+        psi = psi - psi.mean(axis=(-2, -1), keepdims=True)
+        q = m.comp_q(cfg, const, psi)
+        psi_g = ghosted(psi, BC.DIRICHLET)
+        zeta = laplacian_g(psi_g, cfg.delta)
+        zeta_g = m._ghost_deriv(cfg, zeta, psi_g)
+        dq, _ = m.rhs(cfg, const, q, psi, psi_g, zeta, zeta_g, None)
+        dqs[ec] = np.asarray(dq)
+    np.testing.assert_allclose(dqs[True], dqs[False], rtol=0, atol=1e-12
+                               * np.abs(dqs[False]).max())

@@ -115,8 +115,16 @@ def main():
             from msom_tpu.solvers import pallas_spectral as psx
             if not psx.enabled(jnp.float32, args.N):
                 continue
-            solve_j = jax.jit(lambda d, q: psx.fused_mm_solve(
-                d.S, d.inv_den, q))
+            # wrap the fused kernel with the SAME l2m/m2l modal projections
+            # solve_spectral applies, so the fused row measures the same
+            # computation (and its error/wall are comparable to the others)
+            def _fused_full(d, q):
+                qm = q if d.l2m is None else jnp.einsum(
+                    "ml,lyx->myx", d.l2m, q, precision=sp._MODE_PRECISION)
+                pm = psx.fused_mm_solve(d.S, d.inv_den, qm)
+                return pm if d.m2l is None else jnp.einsum(
+                    "lm,myx->lyx", d.m2l, pm, precision=sp._MODE_PRECISION)
+            solve_j = jax.jit(_fused_full)
         else:
             os.environ["MSOM_PALLAS"] = "0"   # keep xla einsums for these
             solve_j = jax.jit(lambda d, q: sp.solve_spectral(d, q))
