@@ -41,18 +41,34 @@ import jax.numpy as jnp
 BASELINE_PTS_PER_S = 1.6e8   # ESTIMATE, see module docstring
 
 
-def build(N, nl, dtype, tol, solver="spectral"):
+def build(N, nl, dtype, tol, solver="spectral", coupled=False):
+    import numpy as np
+
     from msom_tpu.models import qg as m
     from msom_tpu.params import QGConfig
 
-    # 4-layer variant of the Verron double-gyre scaled to N.
+    # 4-layer variant of the Verron double-gyre scaled to N. `coupled` is
+    # the multiple-scale configuration the msqg family exists for
+    # (/root/reference/msqg/qg.h:287-393): large-scale PG streamfunction
+    # coupling + bottom topography + 2 passive tracers, all running through
+    # the fused Pallas RHS/tracer kernels (models/pallas_rhs.py).
+    kw = {}
+    ckw = {}
+    if coupled:
+        kw = dict(nptr=2, Pe=(1e3, 2e3), ptr_r=(100.0, 0.0))
     cfg = QGConfig(N=N, nl=nl, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
                    Re4=1563 * (N / 256) ** 3, beta=0.5,
                    Fr=tuple([0.003] * (nl - 1)),
                    dh=tuple([1.0 / nl] * nl),
                    DT=5e-2, tend=1e9, dtout=1e9, CFL=0.6,
-                   dtype=dtype, tol=tol, solver=solver).validate()
-    const = m.build_constants(cfg)
+                   dtype=dtype, tol=tol, solver=solver, **kw).validate()
+    if coupled:
+        y = (np.arange(N) + 0.5) * cfg.delta
+        gyre = np.sin(np.pi * y / cfg.L0)
+        ckw = dict(
+            psipg=0.01 * gyre[None, :, None] * np.ones((nl, N, N)),
+            topo=0.05 * np.outer(gyre, np.sin(2 * np.pi * y / cfg.L0)))
+    const = m.build_constants(cfg, **ckw)
     state = m.init_state(cfg, const, seed=0)
     step = m.make_step(cfg)
 
@@ -65,7 +81,8 @@ def build(N, nl, dtype, tol, solver="spectral"):
     return cfg, const, state, jax.jit(chunk, static_argnums=2)
 
 
-def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200):
+def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200,
+            coupled=False):
     """(wall seconds per step, mean V-cycles per step) for one solver.
 
     PINNED PROTOCOL (the mg V-cycle count — and so its wall time — depends
@@ -80,7 +97,8 @@ def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200):
     if pallas_env is not None:
         os.environ["MSOM_PALLAS"] = pallas_env
     try:
-        cfg, const, state, chunk = build(N, nl, dtype, tol, solver)
+        cfg, const, state, chunk = build(N, nl, dtype, tol, solver,
+                                         coupled=coupled)
         # compile once at the timed chunk length, then finish the spin-up
         state, _ = chunk(state, const, steps)
         for _ in range(max(spinup - steps, 0) // steps):
@@ -129,12 +147,19 @@ def main():
         walls["mg"], vcycles["mg"] = measure(
             args.N, args.nl, args.dtype, args.tol, "mg", args.steps,
             spinup=spinup)
+    if args.solver in ("spectral", "both"):
+        # the coupled multiple-scale config (psipg + topo + 2 tracers) on
+        # the fused kernels — the configuration class msqg exists for
+        walls["coupled"], vcycles["coupled"] = measure(
+            args.N, args.nl, args.dtype, args.tol, "spectral", args.steps,
+            spinup=spinup, coupled=True)
     if args.all:
         walls["mg_xla"], vcycles["mg_xla"] = measure(
             args.N, args.nl, args.dtype, args.tol, "mg", args.steps,
             pallas_env="0", spinup=spinup)
 
-    best_solver = min(walls, key=walls.get)
+    best_solver = min((k for k in walls if k != "coupled"),
+                      key=walls.get)
     pts = args.N * args.N * args.nl
     value = pts / walls[best_solver]
     out = {

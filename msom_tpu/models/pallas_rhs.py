@@ -1,27 +1,38 @@
-"""Fused Pallas TPU kernel for the msqg RHS (update_qg hot path).
+"""Fused Pallas TPU kernels for the msqg RHS (update_qg hot path).
 
-One HBM pass computes, from psi alone: zeta = lap(psi), the Arakawa
-self-advection J(psi, zeta), the beta term, the interface stretch-Jacobian
-cascade, harmonic/biharmonic dissipation (two in-kernel Laplacian sweeps with
-the intermediate ghost rule, matching the reference's two-sweep biharmonic,
-/root/reference/msqg/qg.h:406-422), Ekman friction and the wind forcing —
-i.e. the whole of update_qg (/root/reference/msqg/qg.h:609-650) for the
-uncoupled free-slip configuration. The XLA lowering of the same math costs
-~25 ms at 2048^2 x 4 layers (dozens of unfused roll/select kernels); this
-kernel is one grid pass.
+One HBM pass computes, from psi (plus the static coupling fields): zeta =
+lap(psi), the Arakawa self-advection, the beta term, the large-scale (PG)
+coupling terms J(pp, zeta) and the interface stretch-Jacobian cascade
+(including the pp cross terms), the large-scale relative-vorticity advection
+(_LS_RV), harmonic/biharmonic dissipation (two in-kernel Laplacian sweeps
+with the intermediate ghost rule, matching the reference's two-sweep
+biharmonic, /root/reference/msqg/qg.h:406-422), Ekman friction, the wind
+forcing, bottom topography J(psi, topo)/(Ro dh) and the 3-D forcing field —
+i.e. the whole of update_qg (/root/reference/msqg/qg.h:609-650) for every
+WALLED configuration (free-slip and partial-slip sbc >= 0), in both the
+standard and the ENERGY_CONSERV / stochastic advection variants. A second
+kernel fuses the passive-tracer tendencies (ptr_rhs, qg.h:573-588). The XLA
+lowering of the same math costs ~25 ms at 2048^2 x 4 layers for the
+uncoupled case alone (dozens of unfused roll/select kernels); each kernel
+here is one grid pass.
 
-Supported (static) configuration — callers must fall back to models.qg.rhs
-otherwise: sbc == 0 (free slip: every derived field takes the Dirichlet
-ghost = -interior rule, so corner ghosts compose to +interior exactly as
-ops.ghost.Ghosted), no large-scale coupling (pp == 0), no topography, no 3-D
-forcing, no stochastic variant, stretching strl and wind constant along x
-(y-profiles — true for the built-in double-gyre forcing and (Fr/Ro(y))^2).
-Passive tracers are handled outside (their tendency does not feed dq).
+Not covered (callers fall back to models.qg.rhs): the doubly-periodic case
+sbc == -1 (wrap ghosts + the custom pp ghost law, msqg/qg.h:1105-1114), and
+spatially x-varying stretching/wind/Ro fields (the kernel streams them as
+y-profiles; a 2-D frpg input disables it).
+
+Ghost handling: ghost values are materialized in-register from the uniform
+per-axis rules, composed x-after-y exactly like ops.bc.pad / ops.ghost:
+  * psi, pp, q, zetap: Dirichlet half-cell (ghost = -interior; corners
+    compose to +interior);
+  * topo, tracers: Neumann (ghost = +interior);
+  * zeta and the biharmonic intermediate under partial slip (sbc > 0):
+    edge ghosts c*(parent_in - parent_ghost) with Dirichlet corner fill,
+    matching ops.ghost.ghosted_slip (/root/reference/msqg/qg.h:185-198).
 
 Tiling mirrors solvers.pallas_mg: y-tiles of T rows with 8-row halo slabs
-(halo use = 3 rows: zeta needs psi+-1, tmp needs zeta+-1, lap(tmp) needs
-tmp+-1), redundant rim compute, ghost rows materialized in-register at the
-physical walls.
+(halo use = 3 rows), redundant rim compute, full-width rows (the lane axis
+is never split).
 """
 
 from __future__ import annotations
@@ -38,83 +49,206 @@ from jax.experimental.pallas import tpu as pltpu
 from msom_tpu.solvers.pallas_mg import _tile_profile, default_interpret
 
 _H = 3  # halo rows used (<= 8, the slab width)
+_VMEM_BUDGET = 14 * 1024 * 1024  # see _pick_tile
+_VMEM_CAP = 64 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
 class RhsKernelData:
-    """Static per-config data for the fused RHS kernel."""
+    """Static per-config data for the fused RHS kernels."""
     strl: jnp.ndarray | None   # (ntiles, nl-1, T+6, 1) tiled y-profile
     wind: jnp.ndarray          # (ntiles, 1, T+6, 1)
+    iro: jnp.ndarray | None    # (ntiles, 1, T+6, 1): 1/(Ro(y)*dh_bot) (topo)
+    pp: jnp.ndarray | None     # (nl, N, N) large-scale psi interior
+    topo: jnp.ndarray | None   # (1, N, N)
+    umax_pp: jnp.ndarray | None  # (nl,) precomputed pp CFL face maxima
     T: int
+    Ttr: int                   # tracer-kernel tile (0: tracer kernel off)
 
 
 jax.tree_util.register_dataclass(
-    RhsKernelData, data_fields=["strl", "wind"], meta_fields=["T"])
+    RhsKernelData,
+    data_fields=["strl", "wind", "iro", "pp", "topo", "umax_pp"],
+    meta_fields=["T", "Ttr"])
+
+
+def _pick_tile(n: int, nfields: float, itemsize: int) -> int | None:
+    """y-tile size: multiple of 8. Two constraints, both measured on v5e at
+    2048^2 (tools/coupled_kernel_bench.py sweep, PERF.md r4):
+
+    * a per-buffer SWEET SPOT that depends on N only — (T+6)*n*itemsize
+      around 330 KB per field-layer (the 44 = 5.5 x 8 coefficient
+      reproduces pallas_mg.pick_tile's throughput-optimal picks: T=32 at
+      2048, 64 at 1024, 128 at 512 in f32). Larger tiles LOSE throughput
+      (plain RHS 0.54 -> 1.11 ms going 32 -> 64 at 2048), smaller tiles
+      pay halo redundancy (coupled RHS 2.95 ms at T=8 vs 2.08 at T=32);
+    * an absolute live-VMEM cap for compile feasibility when many fields
+      stream (nfields counts (C, T+6, nx) field equivalents with
+      view-weight): the coupled kernel compiles at an estimated 61 MB and
+      fails at ~120 MB, so cap at 64 MB."""
+    if n < 64 or n % 8:
+        return None
+    for t in (128, 64, 32, 16, 8):
+        if n % t == 0 and t <= n // 2 \
+                and 44.0 * (t + 6) * n * itemsize <= _VMEM_BUDGET \
+                and 5.5 * nfields * (t + 6) * n * itemsize <= _VMEM_CAP:
+            return t
+    return None
 
 
 def build_kernel_data(cfg, const_wind: np.ndarray,
-                      strl_prof: np.ndarray | None) -> RhsKernelData | None:
-    """strl_prof: (nl-1, N) y-profile (None for nl == 1); const_wind: (N, N)
-    whose rows must be x-constant."""
-    from msom_tpu.solvers.pallas_mg import pick_tile
-    N = cfg.N
-    T = pick_tile(N, nl=max(cfg.nl, 2), itemsize=4)
-    if T is None:
+                      strl_prof: np.ndarray | None, *,
+                      Ro: np.ndarray | None = None,
+                      pp_pad=None, topo_pad=None,
+                      need_q: bool = False,
+                      has_qforc: bool = False) -> RhsKernelData | None:
+    """Build the kernel-side constants, or None when the config cannot use
+    the fused path (periodic, x-varying profiles, no feasible tile).
+
+    strl_prof: (nl-1, N) y-profile (None for nl == 1); const_wind: (N, N)
+    x-constant; Ro: (N, N) x-constant (only consumed with topography);
+    pp_pad/topo_pad: the padded constant fields from QGConstants."""
+    if cfg.sbc < 0:
         return None
+    N, nl = cfg.N, cfg.nl
+    dt = jnp.dtype(cfg.dtype)
+    itemsize = dt.itemsize
     windp = np.asarray(const_wind)
     if not np.array_equal(windp, np.broadcast_to(windp[:, :1], windp.shape)):
         return None
-    dt = jnp.dtype(cfg.dtype)
+    has_pg = pp_pad is not None
+    has_topo = topo_pad is not None
+    iro = None
+    if has_topo:
+        Rop = np.asarray(Ro)
+        if not np.array_equal(Rop, np.broadcast_to(Rop[:, :1], Rop.shape)):
+            return None
+        irop = 1.0 / (Rop[:, 0] * float(cfg.dh[nl - 1]))
+
+    flsrv = bool(cfg.flsrv == 1 and has_pg)
+    nfields = (2.0 + (1.0 if need_q else 0.0)
+               + (0.0 if not has_pg else (2.0 if flsrv else 1.0))
+               + (1.5 / nl if has_topo else 0.0)
+               + (0.5 if has_qforc else 0.0))
+    T = _pick_tile(N, nfields * max(nl, 2), itemsize)
+    if T is None:
+        return None
+    Ttr = 0
+    if cfg.nptr > 0:
+        ntr = nl * cfg.nptr
+        # psi views + tracer views + relax (center-only)
+        Ttr = _pick_tile(N, 1.0 * max(nl, 2) + 2.0 * ntr, itemsize) or 0
     wind = jnp.asarray(_tile_profile(windp[None, :, 0], T, _H), dt)
     strl = None
     if strl_prof is not None:
         strl = jnp.asarray(_tile_profile(np.asarray(strl_prof), T, _H), dt)
-    return RhsKernelData(strl=strl, wind=wind, T=T)
+    iro_t = None
+    if has_topo:
+        iro_t = jnp.asarray(_tile_profile(irop[None, :], T, _H), dt)
+    pp = umax_pp = None
+    if has_pg:
+        from msom_tpu.ops.ghost import ghosted_from_padded, \
+            max_face_speed_layers
+        pp = jnp.asarray(pp_pad)[:, 1:-1, 1:-1]
+        # pp is constant in time: its part of the CFL chain
+        # (/root/reference/msqg/qg.h:387-390) is precomputed once here with
+        # the exact function the XLA path uses
+        umax_pp = max_face_speed_layers(ghosted_from_padded(
+            jnp.asarray(pp_pad)), float(cfg.delta))
+    topo = None
+    if has_topo:
+        topo = jnp.asarray(topo_pad)[None, 1:-1, 1:-1]
+    return RhsKernelData(strl=strl, wind=wind, iro=iro_t, pp=pp, topo=topo,
+                         umax_pp=umax_pp, T=T, Ttr=Ttr)
 
 
 def applicable(cfg, const) -> bool:
-    """Static config gate (see module docstring)."""
-    return (cfg.sbc == 0.0 and not cfg.stochastic
-            and not getattr(cfg, "energy_conserv", False)
-            and const.pp_pad is None and const.zetap_pad is None
-            and const.topo_pad is None and const.qforc is None
-            and getattr(const, "rhsk", None) is not None)
+    """Static config gate (see module docstring): every walled (sbc >= 0)
+    configuration whose profile fields are x-constant and for which a VMEM
+    tile exists — coupled or not."""
+    return cfg.sbc >= 0.0 and getattr(const, "rhsk", None) is not None
 
 
-def _xshift(a, di: int):
-    """x-neighbor view with the Dirichlet ghost = -edge rule (uniform over
-    rows: ghost rows then get -(-edge) = +corner, the Ghosted corner value)."""
+# ---------------------------------------------------------------------------
+# in-register ghost machinery (uniform per-axis rules, x composed after y)
+# ---------------------------------------------------------------------------
+
+def _xshift(a, di: int, sign: float = -1.0):
+    """x-neighbor view with ghost = sign*edge (Dirichlet -1 / Neumann +1),
+    applied uniformly over rows: ghost rows then get sign*(sign*corner) =
+    +corner for matching per-axis signs — the ops.bc.pad composition."""
     nx = a.shape[-1]
     out = jnp.roll(a, -di, axis=2)
     col = jax.lax.broadcasted_iota(jnp.int32, a.shape[-2:], 1)
     edge = nx - 1 if di > 0 else 0
-    return jnp.where(col[None] == edge, -a, out)
+    return jnp.where(col[None] == edge, sign * a, out)
 
 
 def _yroll(a, dj: int):
     return jnp.roll(a, -dj, axis=1)
 
 
-def _yfix(f, grow, nglob):
-    """Materialize the physical wall ghost rows: row(-1) = -row(0),
-    row(N) = -row(N-1) (Dirichlet half-cell)."""
+def _yfix(f, grow, nglob, sign: float = -1.0):
+    """Materialize the physical wall ghost rows: row(-1) = sign*row(0),
+    row(N) = sign*row(N-1)."""
     up = _yroll(f, 1)     # value from the row above (grow+1)
     dn = _yroll(f, -1)    # value from the row below (grow-1)
-    f = jnp.where(grow[None] == -1, -up, f)
-    return jnp.where(grow[None] == nglob, -dn, f)
+    f = jnp.where(grow[None] == -1, sign * up, f)
+    return jnp.where(grow[None] == nglob, sign * dn, f)
 
 
-def _lap(f, id2):
-    return (_xshift(f, 1) + _xshift(f, -1) + _yroll(f, 1) + _yroll(f, -1)
-            - 4.0 * f) * id2
+def _lap(f, id2, sign: float = -1.0):
+    return (_xshift(f, 1, sign) + _xshift(f, -1, sign) + _yroll(f, 1)
+            + _yroll(f, -1) - 4.0 * f) * id2
 
 
-def _views(f):
-    """center + 8 neighbor views, x applied before y (Ghosted.shift order)."""
-    fE, fW = _xshift(f, 1), _xshift(f, -1)
+def _views(f, sign: float = -1.0):
+    """center + 8 neighbor views, x applied before y (Ghosted.shift order);
+    `f` must already have its wall ghost ROWS materialized (_yfix)."""
+    fE, fW = _xshift(f, 1, sign), _xshift(f, -1, sign)
     return dict(c=f, e=fE, w=fW, n=_yroll(f, 1), s=_yroll(f, -1),
                 ne=_yroll(fE, 1), se=_yroll(fE, -1),
                 nw=_yroll(fW, 1), sw=_yroll(fW, -1))
+
+
+def _views_slip(zeta, psi_f, grow, nglob, twoc):
+    """Views of a Laplacian-derived field under the partial-slip wall law
+    (ops.ghost.ghosted_slip): edge ghosts = c*(psi_in - psi_ghost) =
+    2c*psi_in (psi is Dirichlet), corner ghosts keep the Dirichlet fill
+    (+interior corner). psi_f = psi with its wall rows materialized."""
+    nx = zeta.shape[-1]
+    f_dir = _yfix(zeta, grow, nglob)                  # corner source
+    f = jnp.where(grow[None] == -1, twoc * _yroll(psi_f, 1), zeta)
+    f = jnp.where(grow[None] == nglob, twoc * _yroll(psi_f, -1), f)
+    is_gr = (grow == -1) | (grow == nglob)
+    col = jax.lax.broadcasted_iota(jnp.int32, zeta.shape[-2:], 1)
+
+    def xs(di):
+        out = jnp.roll(f, -di, axis=2)
+        edge = nx - 1 if di > 0 else 0
+        gval = jnp.where(is_gr[None], -f_dir, twoc * psi_f)
+        return jnp.where(col[None] == edge, gval, out)
+
+    fE, fW = xs(1), xs(-1)
+    return dict(c=f, e=fE, w=fW, n=_yroll(f, 1), s=_yroll(f, -1),
+                ne=_yroll(fE, 1), se=_yroll(fE, -1),
+                nw=_yroll(fW, 1), sw=_yroll(fW, -1))
+
+
+def _lap_ghostvals(f, w, grow, nglob, id2):
+    """Laplacian of f whose edge ghost VALUES (both axes) come from the
+    array w evaluated at the adjacent interior cell (no corners needed)."""
+    nx = f.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, f.shape[-2:], 1)
+    g = jnp.where(grow[None] == -1, _yroll(w, 1), f)
+    g = jnp.where(grow[None] == nglob, _yroll(w, -1), g)
+
+    def xs(di):
+        out = jnp.roll(g, -di, axis=2)
+        edge = nx - 1 if di > 0 else 0
+        return jnp.where(col[None] == edge, w, out)
+
+    return (xs(1) + xs(-1) + _yroll(g, 1) + _yroll(g, -1) - 4.0 * g) * id2
 
 
 def _mjac(p, q, i12d2):
@@ -131,6 +265,10 @@ def _mjac(p, q, i12d2):
          - p["e"] * (q["ne"] - q["se"])
          + p["w"] * (q["nw"] - q["sw"]))
     return j * i12d2
+
+
+def _vslice(v: dict, idx) -> dict:
+    return {k: a[idx] for k, a in v.items()}
 
 
 def _stretch_prof(a, s, idh0, idh1):
@@ -152,9 +290,24 @@ def _stretch_prof(a, s, idh0, idh1):
     return jnp.stack(rows, axis=0)
 
 
-def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
-                T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
-                idh0, idh1, has_strl):
+def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
+                idh0, idh1, has_strl, has_pg, flsrv, has_topo, has_qforc,
+                need_q, stochastic, energy_conserv, itr_stoch, sbc):
+    it = iter(refs)
+    psi_c, psi_u, psi_d = next(it), next(it), next(it)
+    if need_q:
+        q_c, q_u, q_d = next(it), next(it), next(it)
+    if has_pg:
+        pp_c, pp_u, pp_d = next(it), next(it), next(it)
+    if has_topo:
+        topo_c, topo_u, topo_d = next(it), next(it), next(it)
+    if has_qforc:
+        qf_c = next(it)
+    strl_r, wind_r = next(it), next(it)
+    if has_topo:
+        iro_r = next(it)
+    out_ref, umax_ref = next(it), next(it)
+
     i = pl.program_id(0)
     nl = psi_c.shape[0]
     nx = psi_c.shape[-1]
@@ -162,9 +315,14 @@ def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
     id2 = 1.0 / d2
     i12d2 = 1.0 / (12.0 * d2)
     R = T + 2 * _H
+    slip = sbc > 0.0
+    cslip = sbc / ((0.5 * sbc + 1.0) * d2) if slip else 0.0
 
-    psi = jnp.concatenate(
-        [psi_u[:, 8 - _H:8, :], psi_c[:], psi_d[:, 0:_H, :]], axis=1)
+    def slab(c, u, d):
+        return jnp.concatenate(
+            [u[:, 8 - _H:8, :], c[:], d[:, 0:_H, :]], axis=1)
+
+    psi = slab(psi_c, psi_u, psi_d)
     grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
 
     psi = _yfix(psi, grow, nglob)
@@ -172,48 +330,84 @@ def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
     wind = wind_r[0, 0, :, :]                       # (R, 1)
 
     zeta = _lap(psi, id2)
-    if has_strl:
-        # q would add Gamma(psi); the advected field is zeta itself
-        pass
-    zeta = _yfix(zeta, grow, nglob)
-
     pv = _views(psi)
-    zv = _views(zeta)
+    if slip:
+        zv = _views_slip(zeta, psi, grow, nglob, 2.0 * cslip)
+    else:
+        zv = _views(_yfix(zeta, grow, nglob))
+    zeta_f = zv["c"]   # zeta with its wall ghost rows materialized
+
+    if has_pg:
+        pp = _yfix(slab(pp_c, pp_u, pp_d), grow, nglob)
+        ppv = _views(pp)
+        if flsrv:
+            zpv = _views(_yfix(_lap(pp, id2), grow, nglob))
+    if need_q:
+        q = slab(q_c, q_u, q_d)
+        if energy_conserv:
+            qv = _views(_yfix(q, grow, nglob))
 
     # advection: J(psi, zeta) + beta v (advection_pv, msqg/qg.h:287-393);
-    # the msqg core skips advection entirely for nl == 1 (qg.h:376-379)
+    # the msqg core skips advection entirely for nl == 1 (qg.h:376-379).
+    # ENERGY_CONSERV advects the full PV q (msqg/qg.h:310-340); the
+    # stochastic variant drops the top-layer self-advection, the self part
+    # of the cascade and adds -q/tr_stoch damping (qg_stochastic.h:17-111).
     if nl > 1:
-        dq = _mjac(pv, zv, i12d2)
+        dq = _mjac(pv, qv if energy_conserv else zv, i12d2)
+        if stochastic:
+            dq = jnp.concatenate([jnp.zeros_like(dq[:1]), dq[1:]], axis=0)
         dq = dq + beta * (pv["w"] - pv["e"]) / (2.0 * delta)
+        if has_pg:
+            dq = dq + _mjac(ppv, zv, i12d2)
     else:
         dq = jnp.zeros_like(psi)
     if nl > 1 and has_strl:
-        # interface cascade ju/jd with J(psi_l, psi_l+1)
-        J = _mjac({k: v[:-1] for k, v in pv.items()},
-                  {k: v[1:] for k, v in pv.items()}, i12d2)
-        sj = s * J
-        rows = []
-        for l in range(nl):
-            g = dq[l]
-            if l < nl - 1 and idh1[l] != 0.0:
-                g = g + idh1[l] * sj[l]
-            if l > 0 and idh0[l] != 0.0:
-                g = g - idh0[l] * sj[l - 1]
-            rows.append(g)
-        dq = jnp.stack(rows, axis=0)
+        # interface cascade ju/jd with the J(psi_l, psi_l+1) self term
+        # (unless stochastic/energy_conserv) + the pp cross terms
+        J = None
+        if has_pg:
+            J = (_mjac(_vslice(ppv, slice(None, -1)),
+                       _vslice(pv, slice(1, None)), i12d2)
+                 + _mjac(_vslice(pv, slice(None, -1)),
+                         _vslice(ppv, slice(1, None)), i12d2))
+        if not stochastic and not energy_conserv:
+            Jself = _mjac(_vslice(pv, slice(None, -1)),
+                          _vslice(pv, slice(1, None)), i12d2)
+            J = Jself if J is None else J + Jself
+        if J is not None:
+            sj = s * J
+            rows = []
+            for l in range(nl):
+                g = dq[l]
+                if l < nl - 1 and idh1[l] != 0.0:
+                    g = g + idh1[l] * sj[l]
+                if l > 0 and idh0[l] != 0.0:
+                    g = g - idh0[l] * sj[l - 1]
+                rows.append(g)
+            dq = jnp.stack(rows, axis=0)
+    if nl > 1 and has_pg and flsrv:
+        dq = dq + _mjac(pv, zpv, i12d2)
+    if nl > 1 and stochastic:
+        dq = dq - q * itr_stoch
 
     # dissipation (dissip, msqg/qg.h:406-422)
     tmp = None
     if iRe != 0.0:
-        tmp = _lap(zeta, id2)
+        tmp = (zv["e"] + zv["w"] + zv["n"] + zv["s"] - 4.0 * zv["c"]) * id2
         dq = dq + iRe * tmp
         if has_strl:
             dq = dq + iRe * _stretch_prof(zeta, s, idh0, idh1)
     if iRe4 != 0.0:
         if tmp is None:
-            tmp = _lap(zeta, id2)
-        tmpf = _yfix(tmp, grow, nglob)
-        bih = _lap(tmpf, id2)
+            tmp = (zv["e"] + zv["w"] + zv["n"] + zv["s"]
+                   - 4.0 * zv["c"]) * id2
+        if slip:
+            # intermediate ghosts c*(zeta_in - zeta_ghost), zeta_ghost =
+            # 2c*psi (ops.bc.pad_zeta_slip applied to the tmp field)
+            w = cslip * (zeta - 2.0 * cslip * psi)
+            bih = _lap_ghostvals(tmp, w, grow, nglob, id2)
+        else:
+            bih = _lap(_yfix(tmp, grow, nglob), id2)
         if has_strl:
             bih = bih + _stretch_prof(tmp, s, idh0, idh1)
         dq = dq + iRe4 * bih
@@ -223,22 +417,35 @@ def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
     for l in range(nl):
         g = dq[l]
         if l == 0 and ek_top != 0.0:
-            g = g - ek_top * zeta[0]
+            g = g - ek_top * zeta_f[0]
         if l == nl - 1 and ek_bot != 0.0:
-            g = g - ek_bot * zeta[nl - 1]
+            g = g - ek_bot * zeta_f[nl - 1]
         if l == 0:
             g = g - wind
         rows.append(g)
     dq = jnp.stack(rows, axis=0)
 
-    out_ref[:] = dq[:, _H:T + _H, :]
+    # bottom topography (msqg/qg.h:480-488): J(psi_bot, topo)/(Ro dh_bot)
+    if has_topo:
+        topo = _yfix(slab(topo_c, topo_u, topo_d), grow, nglob, sign=1.0)
+        tv = _views(topo, sign=1.0)
+        jt = _mjac(_vslice(pv, slice(nl - 1, nl)), tv, i12d2)
+        iro = iro_r[0, 0, :, :]   # (R, 1)
+        dq = jnp.concatenate([dq[:nl - 1], dq[nl - 1:] + jt * iro], axis=0)
+
+    out = dq[:, _H:T + _H, :]
+    # 3-D forcing (msqg/qg.h:465-474): center-only block, added post-slice
+    if has_qforc:
+        out = out + qf_c[:]
+    out_ref[:] = out
 
     # fused CFL: per-layer max |face velocity| over this tile's rows — the
     # psi tile is already in VMEM, so the whole CFL field pass
     # (ops.ghost.max_face_speed_layers, ~3 ms of rolls + copies at 2048^2x4
     # when lowered by XLA) collapses into these registers. Faces are
     # evaluated from the cell on each side (interior faces twice, wall
-    # faces once via the materialized ghosts) — identical extrema.
+    # faces once via the materialized ghosts) — identical extrema. The pp
+    # part of the chain is precomputed at build time (pp is constant).
     i2d = 1.0 / (2.0 * delta)
     uc = -(pv["n"] - pv["s"]) * i2d
     ucW = -(pv["nw"] - pv["sw"]) * i2d
@@ -253,28 +460,59 @@ def _rhs_kernel(psi_c, psi_u, psi_d, strl_r, wind_r, out_ref, umax_ref, *,
         umax_ref[i, l] = jnp.max(speed[l, _H:T + _H, :])
 
 
-def rhs_fused(cfg, const, psi: jnp.ndarray,
+def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
               interpret: bool | None = None):
-    """(dq, umax_layers) for the supported configuration (see module
-    docstring); umax_layers is the (nl,) per-layer max |face velocity| for
-    the CFL controller, computed in the same VMEM pass."""
+    """(dq, umax_layers) for any walled configuration (see module
+    docstring); umax_layers is the (nl,) per-layer max |face velocity| of
+    psi for the CFL controller, computed in the same VMEM pass (combine
+    with const.rhsk.umax_pp for the pp part). `q` is required for the
+    stochastic (damping) and energy_conserv (advected-PV) variants."""
     if interpret is None:
         interpret = default_interpret()
     kd: RhsKernelData = const.rhsk
     nl, n, nx = psi.shape
     T = kd.T
     nb, tb = n // 8, T // 8
-    center = pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0))
-    up = pl.BlockSpec((nl, 8, nx),
-                      lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
-    down = pl.BlockSpec((nl, 8, nx),
-                        lambda i: (0, jnp.minimum((i + 1) * tb, nb - 1), 0))
+    need_q = bool(cfg.stochastic or cfg.energy_conserv)
+    has_pg = kd.pp is not None
+    has_topo = kd.topo is not None
+    has_qforc = const.qforc is not None
+
+    def specs3(c):
+        center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
+        up = pl.BlockSpec((c, 8, nx),
+                          lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
+        down = pl.BlockSpec((c, 8, nx),
+                            lambda i: (0, jnp.minimum((i + 1) * tb,
+                                                      nb - 1), 0))
+        return [center, up, down]
+
+    def prof_spec(carr):
+        return pl.BlockSpec((1, carr.shape[1], T + 2 * _H, 1),
+                            lambda i: (i, 0, 0, 0))
+
+    args, in_specs = [psi, psi, psi], specs3(nl)
+    if need_q:
+        args += [q, q, q]
+        in_specs += specs3(nl)
+    if has_pg:
+        args += [kd.pp, kd.pp, kd.pp]
+        in_specs += specs3(nl)
+    if has_topo:
+        args += [kd.topo, kd.topo, kd.topo]
+        in_specs += specs3(1)
+    if has_qforc:
+        args += [const.qforc]
+        in_specs += [pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0))]
     has_strl = kd.strl is not None
     strl_arg = kd.strl if has_strl else jnp.zeros((n // T, 1, T + 2 * _H, 1),
                                                   psi.dtype)
-    sspec = pl.BlockSpec((1, strl_arg.shape[1], T + 2 * _H, 1),
-                         lambda i: (i, 0, 0, 0))
-    wspec = pl.BlockSpec((1, 1, T + 2 * _H, 1), lambda i: (i, 0, 0, 0))
+    args += [strl_arg, kd.wind]
+    in_specs += [prof_spec(strl_arg), prof_spec(kd.wind)]
+    if has_topo:
+        args += [kd.iro]
+        in_specs += [prof_spec(kd.iro)]
+
     dh = cfg.dh
     kern = functools.partial(
         _rhs_kernel, T=T, nglob=n, delta=float(cfg.delta),
@@ -283,11 +521,16 @@ def rhs_fused(cfg, const, psi: jnp.ndarray,
         ek_bot=float(cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1])),
         idh0=tuple(float(v) for v in const.idh0),
         idh1=tuple(float(v) for v in const.idh1),
-        has_strl=has_strl)
+        has_strl=has_strl, has_pg=has_pg, flsrv=bool(cfg.flsrv == 1
+                                                     and has_pg),
+        has_topo=has_topo, has_qforc=has_qforc, need_q=need_q,
+        stochastic=bool(cfg.stochastic),
+        energy_conserv=bool(cfg.energy_conserv),
+        itr_stoch=float(cfg.itr_stoch), sbc=float(cfg.sbc))
     dq, umax_tiles = pl.pallas_call(
         kern,
         grid=(n // T,),
-        in_specs=[center, up, down, sspec, wspec],
+        in_specs=in_specs,
         # the umax accumulator lives in SMEM (scalars per tile x layer; a
         # vector store of a sub-(8,128) block trips Mosaic layout checks),
         # one full-array block resident across the whole grid
@@ -299,5 +542,96 @@ def rhs_fused(cfg, const, psi: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(psi, psi, psi, strl_arg, kd.wind)
+    )(*args)
     return dq, jnp.max(umax_tiles, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# fused passive-tracer kernel (ptr_rhs, /root/reference/msqg/qg.h:573-588)
+# ---------------------------------------------------------------------------
+
+def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
+                   nl, nptr, delta, iPe, ptr_ir, has_relax):
+    if has_relax:
+        relax_c, out_ref = rest
+    else:
+        (out_ref,) = rest
+    i = pl.program_id(0)
+    nx = psi_c.shape[-1]
+    id2 = 1.0 / (delta * delta)
+    i12d2 = id2 / 12.0
+    R = T + 2 * _H
+
+    def slab(c, u, d):
+        return jnp.concatenate(
+            [u[:, 8 - _H:8, :], c[:], d[:, 0:_H, :]], axis=1)
+
+    grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+    psi = _yfix(slab(psi_c, psi_u, psi_d), grow, nglob)
+    pv = _views(psi)
+    # one psi-view set per tracer: flatten order (l, j) -> repeat per layer
+    pv_e = {k: jnp.repeat(a, nptr, axis=0) for k, a in pv.items()}
+    tr = slab(tr_c, tr_u, tr_d)                       # (nl*nptr, R, nx)
+    trv = _views(_yfix(tr, grow, nglob, sign=1.0), sign=1.0)  # Neumann
+
+    dtr = _mjac(pv_e, trv, i12d2)
+    lap_tr = (trv["e"] + trv["w"] + trv["n"] + trv["s"]
+              - 4.0 * trv["c"]) * id2
+    # per-tracer static coefficients applied slice-wise (a constant array
+    # would be a captured constant, which pallas_call rejects)
+    dtr = jnp.stack([dtr[k] + iPe[k % nptr] * lap_tr[k]
+                     for k in range(nl * nptr)], axis=0)
+    dtr = dtr[:, _H:T + _H, :]
+    trc = tr[:, _H:T + _H, :]
+    tgt = (relax_c[:] - trc) if has_relax else -trc
+    out_ref[:] = jnp.stack([dtr[k] + ptr_ir[k % nptr] * tgt[k]
+                            for k in range(nl * nptr)], axis=0)
+
+
+def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """dtracers (nl, nptr, N, N) — the fused ptr_rhs: Arakawa advection by
+    psi + explicit diffusion /Pe + relaxation (msqg/qg.h:573-588), Neumann
+    tracer walls (set_vars bc_type+1, qg.h:869)."""
+    if interpret is None:
+        interpret = default_interpret()
+    kd: RhsKernelData = const.rhsk
+    nl, n, nx = psi.shape
+    nptr = cfg.nptr
+    ntr = nl * nptr
+    T = kd.Ttr
+    nb, tb = n // 8, T // 8
+    tr_flat = tracers.reshape(ntr, n, nx)
+    has_relax = const.ptr_relax is not None
+
+    def specs3(c):
+        center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
+        up = pl.BlockSpec((c, 8, nx),
+                          lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
+        down = pl.BlockSpec((c, 8, nx),
+                            lambda i: (0, jnp.minimum((i + 1) * tb,
+                                                      nb - 1), 0))
+        return [center, up, down]
+
+    args = [psi, psi, psi, tr_flat, tr_flat, tr_flat]
+    in_specs = specs3(nl) + specs3(ntr)
+    if has_relax:
+        args += [const.ptr_relax.reshape(ntr, n, nx)]
+        in_specs += [pl.BlockSpec((ntr, T, nx), lambda i: (0, i, 0))]
+    kern = functools.partial(
+        _tracer_kernel, T=T, nglob=n, nl=nl, nptr=nptr,
+        delta=float(cfg.delta),
+        iPe=tuple(float(v) for v in cfg.iPe[:nptr]),
+        ptr_ir=tuple(float(v) for v in cfg.ptr_ir[:nptr]),
+        has_relax=has_relax)
+    dtr = pl.pallas_call(
+        kern,
+        grid=(n // T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((ntr, T, nx), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((ntr, n, nx), psi.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return dtr.reshape(nl, nptr, n, nx)

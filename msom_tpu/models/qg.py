@@ -246,9 +246,11 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
             nl=nl, N=N, L0=cfg.L0, dh=dh, s_profile=sprof_spec,
             periodic=(cfg.sbc == -1), dtype=dt, transform=cfg.transform)
 
-    # fused Pallas RHS fast path (free-slip, uncoupled, y-profile coeffs)
+    # fused Pallas RHS fast path: every walled (sbc >= 0) configuration —
+    # coupled (PG/topo/qforc/tracers) or not, standard/stochastic/EC
+    # advection — with y-profile (x-constant) strl/wind/Ro
     rhsk = None
-    if cfg.sbc == 0.0 and not cfg.stochastic and not cfg.energy_conserv:
+    if cfg.sbc >= 0.0:
         from msom_tpu.models import pallas_rhs
         s_np = None if strl is None else np.asarray(strl)
         sprof = None
@@ -260,7 +262,11 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
             else:
                 ok = False
         if ok:
-            rhsk = pallas_rhs.build_kernel_data(cfg, np.asarray(wind), sprof)
+            rhsk = pallas_rhs.build_kernel_data(
+                cfg, np.asarray(wind), sprof, Ro=Ro,
+                pp_pad=pp_pad, topo_pad=topo_pad,
+                need_q=bool(cfg.stochastic or cfg.energy_conserv),
+                has_qforc=qforc is not None)
 
     return QGConstants(
         pp_pad=pp_pad, zetap_pad=zetap_pad, strl=strl,
@@ -577,12 +583,18 @@ def update(cfg: QGConfig, const: QGConstants, q, psi_guess, tracers, prev,
     from msom_tpu.models import pallas_rhs
     from msom_tpu.solvers import pallas_mg as _pk
     psi, st = invert_q(cfg, const, psi_guess, q)
-    if (tracers is None and pallas_rhs.applicable(cfg, const)
-            and _pk.enabled(psi.dtype)):
-        # the fused kernel also produces the CFL face maxima (pp is pruned
-        # in this configuration, so the pp part of the chain is a no-op)
-        (dq, umax), dtr = pallas_rhs.rhs_fused(cfg, const, psi), None
-        dtm, prev = cfl_from_umax(cfg, umax, None, dtmax0, prev)
+    kd = const.rhsk
+    if (pallas_rhs.applicable(cfg, const) and _pk.enabled(psi.dtype)
+            and (tracers is None or kd.Ttr > 0)):
+        # the fused kernel also produces the psi CFL face maxima; the pp
+        # part of the chain is precomputed at build time (pp is constant)
+        need_q = cfg.stochastic or cfg.energy_conserv
+        dq, umax = pallas_rhs.rhs_fused(cfg, const, psi,
+                                        q if need_q else None)
+        dtr = None
+        if tracers is not None:
+            dtr = pallas_rhs.tracer_fused(cfg, const, psi, tracers)
+        dtm, prev = cfl_from_umax(cfg, umax, kd.umax_pp, dtmax0, prev)
     else:
         psi_g = ghosted(psi, _bc_psi(cfg))
         zeta = laplacian_g(psi_g, cfg.delta)
