@@ -42,8 +42,56 @@ def _next_event(t, cadence, eps=1e-10):
     return k * cadence
 
 
+def default_mesh(mesh=None):
+    """2-D (y, x) device mesh over all local devices, as square as possible
+    — the msqg MPI Cartesian decomposition (`mpirun -np 16 ./qg.e`,
+    /root/reference/msqg/qg.c:13-14) on the TPU slice."""
+    from jax.sharding import Mesh
+    if mesh is not None:
+        return mesh
+    devs = jax.devices()
+    nd = len(devs)
+    my = 1
+    for cand in range(int(nd ** 0.5), 0, -1):
+        if nd % cand == 0:
+            my = cand
+            break
+    return Mesh(np.array(devs).reshape(my, nd // my), ("y", "x"))
+
+
+def _shard_qg(cfg: QGConfig, mesh, state, const):
+    """GSPMD placement: every (..., N, N) field splits over the (y, x) mesh;
+    the spectral-solver operator data (basis matrices) and everything else
+    replicates. The jitted step/filter/energy functions then partition
+    automatically (XLA inserts the halo collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if x.ndim >= 2 and x.shape[-1] == cfg.N and x.shape[-2] == cfg.N:
+            spec = [None] * (x.ndim - 2) + ["y", "x"]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, repl)
+
+    state = jax.tree.map(place, state)
+    spec_data = const.spec
+    const = dataclasses.replace(const, spec=None)
+    const = jax.tree.map(place, const)
+    if spec_data is not None:
+        # operator matrices (DST basis / folded blocks / inv_den) replicate:
+        # the transform einsums then shard over the FIELD operand only
+        const = dataclasses.replace(
+            const, spec=jax.tree.map(lambda x: jax.device_put(x, repl),
+                                     spec_data))
+    return state, const
+
+
 def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
-           max_steps: int | None = None, log_every: int = 1):
+           max_steps: int | None = None, log_every: int = 1,
+           sharded: bool = False, mesh=None):
     """Integrate the msqg model to cfg.tend. Returns the final state (and
     attaches the energy accumulator as `run_qg.energy` when ediag > -1).
 
@@ -52,12 +100,38 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     t += dtflt, per-step energy accumulation when ediag > -1 (comp_diag,
     qg_energy.h:286-288) with the filter-event de_ft term and per-window
     reset at outputs.
+
+    `sharded`: run under GSPMD domain decomposition over `mesh` (default:
+    all local devices, as square as possible) — the multi-chip entry the
+    reference gets from `mpirun -np 16 ./qg.e` (msqg/qg.c:13-14). All
+    events (wavelet filter, energy accumulation, OutputWriter gather) run
+    on the mesh; the Pallas fast paths are disabled (use_pallas=False —
+    pallas_call is opaque to the partitioner), so the step keeps the
+    partitionable XLA lowering. Output equality vs the unsharded run is
+    pinned by tests/test_parallel.py::test_run_qg_sharded_matches_single.
     """
     hooks = hooks or RunHooks()
+    if sharded:
+        kw = {"use_pallas": False}
+        if (cfg.solver == "spectral" and cfg.transform in ("auto", "fft")
+                and jnp.dtype(cfg.dtype).itemsize == 8):
+            # the f64 auto rule resolves to the FFT lowering, which does
+            # not partition under GSPMD (XLA:CPU/TPU fft thunks need the
+            # full axis); the matmul basis shards cleanly
+            kw["transform"] = "matmul"
+        cfg = dataclasses.replace(cfg, **kw)
+        if const is not None and (const.rhsk is not None or any(
+                lvl.sw is not None for lvl in const.levels)):
+            raise ValueError(
+                "run_qg(sharded=True) needs constants built with "
+                "use_pallas=False (or pass const=None to rebuild)")
     if const is None:
         const = qg_model.build_constants(cfg)
     if state is None:
         state = qg_model.init_state(cfg, const)
+    if sharded:
+        mesh = default_mesh(mesh)
+        state, const = _shard_qg(cfg, mesh, state, const)
 
     step = jax.jit(qg_model.make_step(cfg))
 
@@ -123,10 +197,14 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
 
 
 def run_pg(cfg, *, const=None, state=None, hooks: RunHooks = None,
-           max_steps: int | None = None):
+           max_steps: int | None = None, sharded: bool = False, mesh=None):
     """Integrate the mspg model to cfg.tend (driver loop of
     /root/reference/mspg/pg.c): running means every 10 steps (comp_output),
-    b_me/u_me state dumps every dtout (writestate)."""
+    b_me/u_me state dumps every dtout (writestate).
+
+    `sharded`: GSPMD domain decomposition over `mesh` (the reference runs
+    mspg under the same MPI split, pg.c:115-118); face-staggered (N+1)
+    axes stay unsharded — only axes divisible by the mesh dim split."""
     from msom_tpu.models import mspg
 
     hooks = hooks or RunHooks()
@@ -134,6 +212,23 @@ def run_pg(cfg, *, const=None, state=None, hooks: RunHooks = None,
         const = mspg.build_constants(cfg)
     if state is None:
         state = mspg.init_state(cfg, const)
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = default_mesh(mesh)
+        my, mx = mesh.devices.shape
+
+        def place(x):
+            if not hasattr(x, "ndim") or x.ndim < 2:
+                return x
+            spec = [None] * x.ndim
+            if x.shape[-2] % my == 0:
+                spec[-2] = "y"
+            if x.shape[-1] % mx == 0:
+                spec[-1] = "x"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+        state = jax.tree.map(place, state)
+        const = jax.tree.map(place, const)
 
     step = jax.jit(mspg.make_step(cfg))
     t = float(state.t)
@@ -367,6 +462,9 @@ def main(argv=None):
                    help="output directory (default: next free outdir_%%04d)")
     p.add_argument("--no-output", action="store_true",
                    help="skip file output (stdout KE log only)")
+    p.add_argument("--sharded", action="store_true",
+                   help="GSPMD domain decomposition over all local devices "
+                        "(the reference's mpirun entry, msqg/qg.c:13-14)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -391,9 +489,11 @@ def main(argv=None):
             hooks.on_output = PGOutputWriter(cfg, const, outdir=args.outdir,
                                              params_text=params_text)
         state = run_pg(cfg, const=const, state=state, hooks=hooks,
-                       max_steps=args.steps)
+                       max_steps=args.steps, sharded=args.sharded)
     else:
         cfg = load_qg_config(params_text)
+        if args.sharded:
+            cfg = dataclasses.replace(cfg, use_pallas=False)
         deck = load_qg_deck(cfg, deckdir, log=log)
         const = qg_model.build_constants(cfg, **deck["const"])
         state = qg_model.init_state(cfg, const, **deck["init"])
@@ -402,7 +502,7 @@ def main(argv=None):
             hooks.on_output = OutputWriter(cfg, const, outdir=args.outdir,
                                            params_text=params_text)
         state = run_qg(cfg, const=const, state=state, hooks=hooks,
-                       max_steps=args.steps)
+                       max_steps=args.steps, sharded=args.sharded)
     wall = time.time() - t0
     n_steps = int(state.i)
     if dist.is_master():

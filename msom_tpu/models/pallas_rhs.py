@@ -166,7 +166,8 @@ def applicable(cfg, const) -> bool:
     """Static config gate (see module docstring): every walled (sbc >= 0)
     configuration whose profile fields are x-constant and for which a VMEM
     tile exists — coupled or not."""
-    return cfg.sbc >= 0.0 and getattr(const, "rhsk", None) is not None
+    return (cfg.sbc >= 0.0 and getattr(cfg, "use_pallas", True)
+            and getattr(const, "rhsk", None) is not None)
 
 
 # ---------------------------------------------------------------------------

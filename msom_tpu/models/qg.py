@@ -188,7 +188,8 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         topo_pad = pad(jnp.asarray(topo, dt), BC.NEUMANN)
 
     levels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=strl,
-                                     idh0=idh0, idh1=idh1, dtype=dt)
+                                     idh0=idh0, idh1=idh1, dtype=dt,
+                                     pallas=cfg.use_pallas)
 
     # vertical modes (modal inversion path, MODE_PV_INVERT): one eigensolve
     # per distinct column — uniform or a y-batch for varRo (eigmode.h re-design,
@@ -216,7 +217,8 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         l2m = jnp.asarray(vm.l2m, dt)
         m2l = jnp.asarray(vm.m2l, dt)
         mlevels = mg.build_layered_coeffs(nl=nl, N=N, L0=cfg.L0, s=None,
-                                          lam=iBu, dtype=dt)
+                                          lam=iBu, dtype=dt,
+                                          pallas=cfg.use_pallas)
 
     # wavelet filter scale sig_filt = min(afilt*Rd, Lfmax) and per-level
     # high-pass weights (msqg/qg.h:1052-1090); Rd defaults to 1, overridden
@@ -250,7 +252,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     # coupled (PG/topo/qforc/tracers) or not, standard/stochastic/EC
     # advection — with y-profile (x-constant) strl/wind/Ro
     rhsk = None
-    if cfg.sbc >= 0.0:
+    if cfg.sbc >= 0.0 and cfg.use_pallas:
         from msom_tpu.models import pallas_rhs
         s_np = None if strl is None else np.asarray(strl)
         sprof = None

@@ -107,6 +107,12 @@ class QGConfig:
     #                          2048^2, tools/refine_error.py — far below mg
     #                          tol 1e-3); transform="fft" is the
     #                          exact-to-roundoff lowering.
+    use_pallas: bool = True  # TPU-runtime knob (not a reference flag):
+    #                          build/use the fused Pallas kernels (RHS,
+    #                          tracers, mg sweeps). The GSPMD-sharded driver
+    #                          path disables them — pallas_call is opaque to
+    #                          the XLA partitioner, so multi-chip runs keep
+    #                          the partitionable XLA lowering.
     transform: str = "auto"  # spectral basis impl: "auto" | "fft" | "matmul"
     #                          (matmul = DST as MXU matmuls; auto picks it for
     #                          f32 at N <= 4096, and it is the only transform
@@ -153,9 +159,9 @@ class QGConfig:
         if self.solver not in ("mg", "spectral"):
             raise ValueError(f"solver={self.solver!r}: must be 'mg' or "
                              "'spectral'")
-        if self.transform not in ("auto", "fft", "matmul"):
+        if self.transform not in ("auto", "fft", "matmul", "factored"):
             raise ValueError(f"transform={self.transform!r}: must be "
-                             "'auto', 'fft' or 'matmul'")
+                             "'auto', 'fft', 'matmul' or 'factored'")
         if self.Rom <= 0:
             raise ValueError("Rom <= 0: aborting (msqg/qg.h:1009-1012)")
         if len(self.dh) < self.nl or any(d == 0 for d in self.dh[:self.nl]):

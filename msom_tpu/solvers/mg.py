@@ -185,7 +185,8 @@ def build_layered_coeffs(*, nl: int, N: int, L0: float,
                          s: jnp.ndarray | None = None,
                          idh0=None, idh1=None,
                          lam: jnp.ndarray | None = None,
-                         dtype=jnp.float32, minlevel: int = 1):
+                         dtype=jnp.float32, minlevel: int = 1,
+                         pallas: bool = True):
     """Precompute per-level coefficients + Thomas factors for solve_layered.
 
     Restriction of the coefficient fields (stretching s, Helmholtz lam) to
@@ -196,10 +197,12 @@ def build_layered_coeffs(*, nl: int, N: int, L0: float,
     depth = int(round(np.log2(N)))
     idh0 = np.zeros(nl) if idh0 is None else idh0
     idh1 = np.zeros(nl) if idh1 is None else idh1
-    return _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel)
+    return _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel,
+                        pallas=pallas)
 
 
-def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
+def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1,
+                 pallas=True):
     """Internal: list of _Level from finest (index -1) to coarsest."""
     idh0 = np.asarray(idh0, np.float64)
     idh1 = np.asarray(idh1, np.float64)
@@ -226,7 +229,8 @@ def _make_levels(nl, depth, L0, s, idh0, idh1, lam, dtype, minlevel=1):
         if lam_l is not None:
             t1 = t1 - d2 * lam_l
         cp, im = tridiag.factor(t0, t1, t2)
-        sw, rp = _pallas_level_data(n, s_l, lam_l, t0, cp, im, dtype)
+        sw, rp = _pallas_level_data(n, s_l, lam_l, t0, cp, im, dtype) \
+            if pallas else (None, None)
         levels.append(_Level(delta=delta, s=s_l, lam=lam_l, t0=t0, cp=cp,
                              im=im, red=jnp.asarray(_checkerboard(n, n)),
                              sw=sw, rp=rp))

@@ -65,10 +65,14 @@ class SpectralData:
     delta: float                 # static: grid spacing (refinement stencil)
     refine: bool                 # static: bf16 transforms + one f32
     #                              iterative-refinement pass (TPU MXU lever)
+    fac: object | None = None    # ctdst.FactoredDST: two-stage factored
+    #                              matmul DST (transform="factored") —
+    #                              8x fewer MXU flops than the single
+    #                              (N, N) matmul at N = 2048
 
 
 jax.tree_util.register_dataclass(
-    SpectralData, data_fields=["inv_den", "l2m", "m2l", "S", "iBu"],
+    SpectralData, data_fields=["inv_den", "l2m", "m2l", "S", "iBu", "fac"],
     meta_fields=["periodic", "delta", "refine"])
 
 
@@ -175,6 +179,19 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
     # matmul basis is the only transform with an explicit-collective
     # decomposition, parallel/spectral_shard.py) builds the basis matrix
     # for EITHER BC: periodic gets the real cos/sin eigenbasis.
+    # Folded (Lee even/odd) matmul DST — measured 1.5-1.8x faster than the
+    # direct matmul at N = 1024-2048 with slightly SMALLER error
+    # (tools/ctdst_experiment.py, PERF.md r4). "auto" picks it for the f32
+    # Dirichlet power-of-2 cases; force_matmul (the sharded path) and
+    # refine need the single-matrix basis with NATURALLY-ordered inv_den,
+    # so they keep the direct form.
+    use_fac = (not force_matmul) and (
+        transform == "factored"
+        or (transform == "auto" and jnp.dtype(dtype).itemsize == 4
+            and not periodic and N >= 512 and N & (N - 1) == 0))
+    if use_fac and periodic:
+        raise ValueError("transform='factored' covers the Dirichlet (DST) "
+                         "basis only; periodic keeps the rfft/matmul paths")
     use_mm = force_matmul or transform == "matmul" or (
         transform == "auto" and jnp.dtype(dtype).itemsize == 4
         and N <= 4096 and not periodic)
@@ -223,9 +240,23 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
     # algebra is validated by tests/test_spectral.py).
     if refine == "auto":
         refine = False
+    fac = None
+    if use_fac and not refine:
+        from msom_tpu.solvers import ctdst
+        fac, perm = ctdst.build_fold(N, dtype)
+        if fac is None:
+            raise ValueError(f"transform='factored' needs a power-of-2 "
+                             f"N >= 32, got {N}")
+        # the folded transform emits modes in a permuted order (ctdst
+        # docstring); permute the diagonal denominator once here instead
+        # of shuffling data at runtime
+        inv = inv[:, perm][:, :, perm]
+        if S is None:
+            # keep the basis for the refinement stencil/sharded consumers
+            S = jnp.asarray(dst_matrix(N), dtype)
     return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
                         S=S, iBu=jnp.asarray(iBu, dtype), periodic=periodic,
-                        delta=h, refine=bool(refine))
+                        delta=h, refine=bool(refine), fac=fac)
 
 
 def _mm_solve(data: SpectralData, qm: jnp.ndarray, precision) -> jnp.ndarray:
@@ -266,7 +297,12 @@ def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
     reference's mg tolerance 1e-3 (/root/reference/msqg/qg.h:159)."""
     qm = q if data.l2m is None else jnp.einsum("ml,lyx->myx", data.l2m, q,
                                                precision=_MODE_PRECISION)
-    if data.S is not None:
+    if data.fac is not None and not data.refine:
+        from msom_tpu.solvers import ctdst
+        Q = ctdst.fdst_x(data.fac, ctdst.fdst_y(data.fac, qm))
+        P = Q * data.inv_den
+        pm = ctdst.ifdst_y(data.fac, ctdst.ifdst_x(data.fac, P))
+    elif data.S is not None:
         if data.refine:
             pm = _mm_solve(data, qm, jax.lax.Precision.DEFAULT)
             r = modal_residual(data, qm, pm)

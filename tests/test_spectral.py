@@ -282,3 +282,52 @@ def test_pallas_fused_mm_solve_matches_xla():
     psi_x = sp.solve_spectral(data, qm)
     scale = float(jnp.max(jnp.abs(psi_x)))
     assert float(jnp.max(jnp.abs(psi_k - psi_x))) < 1e-4 * scale
+
+
+def test_factored_dst_matches_matrix():
+    """ctdst folded DST vs the explicit orthonormal DST matrix (with the
+    build-time output permutation applied), both axes, forward and inverse
+    (adjoint) — machine precision, at every level count."""
+    from msom_tpu.solvers import ctdst
+    from msom_tpu.solvers.spectral import dst_matrix
+
+    for N, L in ((64, 1), (128, 2), (256, 3), (1024, None)):
+        f, perm = ctdst.build_fold(N, jnp.float64, L)
+        S = np.asarray(dst_matrix(N))
+        rng = np.random.default_rng(N)
+        x = jnp.asarray(rng.standard_normal((3, 4, N)))
+        y_ref = np.einsum("ki,lyi->lyk", S, np.asarray(x))[..., perm]
+        np.testing.assert_allclose(np.asarray(ctdst.fdst_x(f, x)), y_ref,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(ctdst.ifdst_x(f, jnp.asarray(y_ref))),
+            np.asarray(x), atol=1e-11)
+        xy = jnp.asarray(rng.standard_normal((3, N, 4)))
+        y_ref2 = np.einsum("kj,ljx->lkx", S, np.asarray(xy))[..., perm, :]
+        np.testing.assert_allclose(np.asarray(ctdst.fdst_y(f, xy)), y_ref2,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(ctdst.ifdst_y(f, jnp.asarray(y_ref2))),
+            np.asarray(xy), atol=1e-11)
+
+
+def test_factored_solve_matches_matmul_solve():
+    """solve_spectral with transform='factored' vs 'matmul' (same discrete
+    system, same inv_den ordering) at machine precision in f64."""
+    from msom_tpu.solvers import spectral as sp
+
+    N, nl, L0 = 128, 3, 80.0
+    dh = np.array([0.2, 0.3, 0.5])
+    sprof = np.array([0.3, 0.4])
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((nl, N, N)))
+    d_mm = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=sprof,
+                             periodic=False, dtype=jnp.float64,
+                             transform="matmul")
+    d_fc = sp.build_spectral(nl=nl, N=N, L0=L0, dh=dh, s_profile=sprof,
+                             periodic=False, dtype=jnp.float64,
+                             transform="factored")
+    p_mm = np.asarray(sp.solve_spectral(d_mm, q))
+    p_fc = np.asarray(sp.solve_spectral(d_fc, q))
+    np.testing.assert_allclose(p_fc, p_mm, rtol=0,
+                               atol=1e-11 * np.abs(p_mm).max())
