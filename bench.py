@@ -41,7 +41,8 @@ import jax.numpy as jnp
 BASELINE_PTS_PER_S = 1.6e8   # ESTIMATE, see module docstring
 
 
-def build(N, nl, dtype, tol, solver="spectral", coupled=False):
+def build(N, nl, dtype, tol, solver="spectral", coupled=False,
+          stochastic=False):
     import numpy as np
 
     from msom_tpu.models import qg as m
@@ -56,6 +57,9 @@ def build(N, nl, dtype, tol, solver="spectral", coupled=False):
     ckw = {}
     if coupled:
         kw = dict(nptr=2, Pe=(1e3, 2e3), ptr_r=(100.0, 0.0))
+    if stochastic:
+        # deliverable 3: Euler-Maruyama eddy forcing (qg_stochastic.h)
+        kw = dict(stochastic=True, tr_stoch=50.0, amp_stoch=1e-6)
     cfg = QGConfig(N=N, nl=nl, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
                    Re4=1563 * (N / 256) ** 3, beta=0.5,
                    Fr=tuple([0.003] * (nl - 1)),
@@ -82,7 +86,7 @@ def build(N, nl, dtype, tol, solver="spectral", coupled=False):
 
 
 def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200,
-            coupled=False):
+            coupled=False, stochastic=False):
     """(wall seconds per step, mean V-cycles per step) for one solver.
 
     PINNED PROTOCOL (the mg V-cycle count — and so its wall time — depends
@@ -98,7 +102,8 @@ def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200,
         os.environ["MSOM_PALLAS"] = pallas_env
     try:
         cfg, const, state, chunk = build(N, nl, dtype, tol, solver,
-                                         coupled=coupled)
+                                         coupled=coupled,
+                                         stochastic=stochastic)
         # compile once at the timed chunk length, then finish the spin-up
         state, _ = chunk(state, const, steps)
         for _ in range(max(spinup - steps, 0) // steps):
@@ -119,6 +124,91 @@ def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200,
                 os.environ["MSOM_PALLAS"] = saved_pallas
 
 
+def measure_node(N, nl, dtype, steps, spinup):
+    """(wall s/step, wall s/wavelet-filter) for the qg-node baroclinic
+    family (BASELINE.json deliverable 5: nodal multi-layer at 2048^2 with
+    wavelet diagnostics). Same pinned protocol as measure(). The wavelet
+    filter is an EVENT (fires every dtflt, not every step) so it is timed
+    separately."""
+    import numpy as np
+
+    from msom_tpu.models import qg_node as node
+
+    scale = N / 64
+    cfg = node.NodeQGConfig(
+        N=N, nl=nl, L0=100.0, f0=46.5, beta=0.5, hEkb=1e-3,
+        tau0=1e-3, nu=5.0 / scale, dh=tuple([1.0 / nl] * nl),
+        N2=tuple([1.0] * (nl - 1)), noise_init=1e-3, bc_fac=1.0,
+        DT=5e-2, tend=1e18, dtout=1e18, CFL=0.2, TOLERANCE=1e-5,
+        dtflt=1.0, Lfmax=30.0, Lfmin=10.0, dtype=dtype)
+    const = node.build_constants(cfg)
+    state = node.init_state(cfg, const, seed=0)
+    step = node.make_step(cfg)
+
+    def chunk(state, const, n):
+        def body(s, _):
+            s, d = step(s, const, jnp.asarray(1e18, s.t.dtype))
+            return s, d.dt
+        return jax.lax.scan(body, state, None, length=n)
+
+    chunk_j = jax.jit(chunk, static_argnums=2)
+    state, _ = chunk_j(state, const, steps)
+    for _ in range(max(spinup - steps, 0) // steps):
+        state, _ = chunk_j(state, const, steps)
+    _ = float(state.q[0, 0, 0])
+    t0 = time.time()
+    state, dts = chunk_j(state, const, steps)
+    _ = float(state.q[0, 0, 0])
+    wall = (time.time() - t0) / steps
+
+    filt_j = jax.jit(lambda s, c: node.wavelet_filter(cfg, c, s))
+    s2 = filt_j(state, const)
+    _ = float(s2.psi_f[0, 0, 0])
+    t0 = time.time()
+    s2 = filt_j(dataclasses_replace_t(state, float(state.t) * (1 + 1e-9)),
+                const)
+    _ = float(s2.psi_f[0, 0, 0])
+    wall_flt = time.time() - t0
+    return wall, wall_flt
+
+
+def dataclasses_replace_t(state, t):
+    import dataclasses
+
+    return dataclasses.replace(state,
+                               t=jnp.asarray(t, state.t.dtype))
+
+
+def measure_mspg(N, nl, dtype, steps, spinup):
+    """Wall s/step for the mspg PG gyre (BASELINE.json deliverable 4) at
+    the reference's canonical N=64 x nl=30 scale (mspg/params.in)."""
+    from msom_tpu.models import mspg
+    from msom_tpu.params import PGConfig
+
+    cfg = PGConfig(N=N, nl=nl, ys=0.3, r=0.02, tau_s=3e-2, tau0=0.12,
+                   kv=1e-4, kh=1e-4, omega=0.2, DT=1e-2, CFL=0.4,
+                   tend=1e18, dtout=1e18, dtype=dtype)
+    const = mspg.build_constants(cfg)
+    state = mspg.init_state(cfg, const)
+    step = mspg.make_step(cfg)
+
+    def chunk(state, const, n):
+        def body(s, _):
+            s, d = step(s, const, jnp.asarray(1e18, s.t.dtype))
+            return s, d.dt
+        return jax.lax.scan(body, state, None, length=n)
+
+    chunk_j = jax.jit(chunk, static_argnums=2)
+    state, _ = chunk_j(state, const, steps)
+    for _ in range(max(spinup - steps, 0) // steps):
+        state, _ = chunk_j(state, const, steps)
+    _ = float(state.b[0, 0, 0])
+    t0 = time.time()
+    state, dts = chunk_j(state, const, steps)
+    _ = float(state.b[0, 0, 0])
+    return (time.time() - t0) / steps
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--N", type=int, default=2048)
@@ -133,6 +223,8 @@ def main():
                    choices=["spectral", "mg", "both"])
     p.add_argument("--all", action="store_true",
                    help="also bench the pure-XLA mg lowering")
+    p.add_argument("--no-families", action="store_true",
+                   help="skip the qg-node / mspg / stochastic family rows")
     args = p.parse_args()
     if args.quick:
         args.N, args.steps = 512, 10
@@ -178,6 +270,32 @@ def main():
         out[f"pts_per_s_{k}"] = pts / w
         if k.startswith("mg"):
             out[f"vcycles_per_step_{k}"] = vcycles[k]
+
+    if not args.no_families:
+        # per-family hardware rows (BASELINE.json deliverables 3-5);
+        # reduced step budgets keep the whole bench within the driver's
+        # wall-time envelope
+        node_N = 512 if args.quick else 2048
+        w_node, w_flt = measure_node(node_N, 4, args.dtype,
+                                     10 if args.quick else 20,
+                                     20 if args.quick else 40)
+        out["node_config"] = f"qg-node {node_N}^2 x 4-layer baroclinic"
+        out["wall_s_per_step_node"] = w_node
+        out["pts_per_s_node"] = node_N * node_N * 4 / w_node
+        out["wall_s_per_filter_node"] = w_flt
+        w_pg = measure_mspg(64, 30, args.dtype, 20 if args.quick else 60,
+                            40 if args.quick else 120)
+        out["mspg_config"] = "mspg 64^2 x 30-sigma gyre (reference params.in)"
+        out["wall_s_per_step_mspg"] = w_pg
+        out["pts_per_s_mspg"] = 64 * 64 * 30 / w_pg
+        st_N = 512 if args.quick else 1024
+        w_st, _ = measure(st_N, 4, args.dtype, args.tol, "spectral",
+                          10 if args.quick else 20,
+                          spinup=20 if args.quick else 60, coupled=False,
+                          stochastic=True)
+        out["stoch_config"] = f"msqg {st_N}^2 x 4-layer stochastic"
+        out["wall_s_per_step_stoch"] = w_st
+        out["pts_per_s_stoch"] = st_N * st_N * 4 / w_st
     print(json.dumps(out))
 
 

@@ -66,6 +66,15 @@ class NodeQGConfig:
     amp_stoch: float = 0.0
     L_filt_stoch: float = 0.0
     stochastic: bool = False
+    solver: str = "auto"     # PV inversion: "auto" picks the direct nodal
+    #                          spectral solve (DST-I x vertical modes,
+    #                          solvers/spectral.build_spectral_node — exact,
+    #                          all-MXU) whenever the mask is the default
+    #                          wall rectangle and S2 is horizontally uniform
+    #                          (flag_ms = 0, no N2 field), else the vertex
+    #                          multigrid; "vmg" forces the multigrid
+    #                          (reference-parity path, nodal-poisson.h);
+    #                          "spectral" requires applicability.
     dtype: str = "float32"
 
     @property
@@ -134,12 +143,14 @@ class NodeQGConstants:
     yv: jnp.ndarray                # (N+1, N+1) vertex y-coords
     idh0: tuple
     idh1: tuple
+    nspec: Any = None              # spectral.SpectralData nodal direct
+    #                                inversion (DST-I x modes), or None
 
 
 jax.tree_util.register_dataclass(
     NodeQGConstants,
     data_fields=["mask", "psi_pg", "S2", "topo", "q_forcing_3d", "sig_lev",
-                 "sig_lev_c", "mask_c", "vlevels", "yv"],
+                 "sig_lev_c", "mask_c", "vlevels", "yv", "nspec"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -257,6 +268,32 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
         pyr.reverse()
         mask_c = tuple(jnp.asarray(m, dt) for m in pyr)
 
+    # direct nodal spectral inversion (solver="auto"/"spectral"): exact
+    # DST-I x vertical-mode solve of the interior system with zero ring —
+    # applicable iff the mask is the default wall rectangle and S2 is
+    # horizontally uniform (flag_ms = 0, uniform N2)
+    nspec = None
+    if cfg.solver in ("auto", "spectral"):
+        from msom_tpu.solvers import spectral as spectral_mod
+        mask_ok = bool(np.array_equal(np.asarray(mask),
+                                      np.asarray(vertex.default_mask(N, dt))))
+        sprof = None
+        s_ok = True
+        if nl > 1:
+            s_np = np.asarray(S2)
+            if np.all(s_np == s_np[:, :1, :1]):
+                sprof = s_np[:, 0, 0]
+            else:
+                s_ok = False
+        if mask_ok and s_ok:
+            nspec = spectral_mod.build_spectral_node(
+                nl=nl, N=N, L0=cfg.L0, dh=np.asarray(cfg.dh[:nl]),
+                s_profile=sprof, iRd2_low=cfg.iRd2_low, dtype=dt)
+        elif cfg.solver == "spectral":
+            raise ValueError(
+                "solver='spectral' needs the default wall mask and "
+                "horizontally-uniform S2 (flag_ms=0); use solver='vmg'")
+
     return NodeQGConstants(
         mask=mask, psi_pg=psi_pg, S2=S2, topo=topo_arr,
         q_forcing_3d=None if q_forcing_3d is None
@@ -264,7 +301,7 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
         sig_lev=None, sig_lev_c=sig_lev_c, mask_c=mask_c,
         vlevels=vlevels, yv=jnp.asarray(Yv, dt),
         idh0=tuple(float(v) for v in idh0),
-        idh1=tuple(float(v) for v in idh1))
+        idh1=tuple(float(v) for v in idh1), nspec=nspec)
 
 
 def _build_constants_periodic(cfg, *, psi_pg=None, N2=None, topo=None,
@@ -367,6 +404,17 @@ def invert_q(cfg, const, psi_guess, q):
             idh0=const.idh0, idh1=const.idh1, bc=BC.PERIODIC,
             tolerance=cfg.TOLERANCE, levels=const.vlevels)
         return _project_nullspace(cfg, psi), st
+    if const.nspec is not None and cfg.solver in ("auto", "spectral"):
+        # exact one-shot nodal solve (build_constants docstring): interior
+        # vertices via DST-I x modes, zero ring
+        from msom_tpu.solvers import spectral as spectral_mod
+        psi_int = spectral_mod.solve_spectral(const.nspec,
+                                              q[..., 1:-1, 1:-1])
+        psi = jnp.zeros_like(q).at[..., 1:-1, 1:-1].set(psi_int)
+        z = jnp.zeros((), q.dtype)
+        st = vmg.MGStats(iters=jnp.zeros((), jnp.int32), resb=z, resa=z,
+                         nrelax=jnp.zeros((), jnp.int32))
+        return vertex.bc_psi(psi), st
     psi, st = vmg.vpoisson(psi_guess, q, levels=const.vlevels,
                            idh0=const.idh0, idh1=const.idh1,
                            tolerance=cfg.TOLERANCE)

@@ -328,6 +328,54 @@ def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
                                                   precision=_MODE_PRECISION)
 
 
+def dst1_matrix(N: int, dtype=np.float64) -> np.ndarray:
+    """Orthonormal DST-I matrix for the (N-1) INTERIOR VERTICES of an
+    N-interval wall-to-wall grid: S1[k, i] = sqrt(2/N) sin(pi(k+1)(i+1)/N),
+    k, i = 0..N-2. Symmetric and orthogonal; diagonalizes the 5-point
+    vertex Laplacian with a ZERO boundary ring (the qg-node inversion
+    system, /root/reference/qg-node/nodal-poisson.h) with eigenvalues
+    -(4/h^2) sin^2(pi(k+1)/(2N))."""
+    k = np.arange(N - 1)[:, None]
+    i = np.arange(N - 1)[None, :]
+    return (np.sqrt(2.0 / N)
+            * np.sin(np.pi * (k + 1) * (i + 1) / N)).astype(dtype)
+
+
+def build_spectral_node(*, nl: int, N: int, L0: float, dh=None,
+                        s_profile=None, iRd2_low: float = 0.0,
+                        dtype=jnp.float32) -> SpectralData:
+    """Direct spectral inversion for the NODAL (vertex) PV system — the
+    TPU-first replacement for the iterated vertex multigrid
+    (/root/reference/qg-node/nodal-poisson.h:19-143) when the mask is the
+    default wall rectangle and the stratification is horizontally uniform:
+    the interior vertices with a zero ring are exactly diagonalized by the
+    DST-I basis x vertical modes. One shot, residual at roundoff (vs the
+    reference's TOLERANCE=1e-5 iteration), all MXU matmuls.
+
+    s_profile: (nl-1,) uniform S2 = f^2/N^2 values; iRd2_low: the
+    barotropic Helmholtz shift (qg_barotropic.h:114-118, nl == 1)."""
+    h = L0 / N
+    if nl > 1:
+        from msom_tpu.ops import modes as modes_mod
+        vm = modes_mod.eigmod(np.asarray(dh, np.float64)[:nl],
+                              np.asarray(s_profile, np.float64))
+        iBu = np.asarray(vm.iBu, np.float64)
+        l2m = jnp.asarray(vm.l2m, dtype)
+        m2l = jnp.asarray(vm.m2l, dtype)
+    else:
+        iBu = np.array([-float(iRd2_low)])
+        l2m = m2l = None
+    k = np.arange(1, N, dtype=np.float64)
+    lam = -(4.0 / h ** 2) * np.sin(np.pi * k / (2 * N)) ** 2
+    den = (lam[None, :, None] + lam[None, None, :] + iBu[:, None, None])
+    with np.errstate(divide="ignore"):
+        inv = np.where(den != 0.0, 1.0 / np.where(den != 0.0, den, 1.0), 0.0)
+    return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
+                        S=jnp.asarray(dst1_matrix(N), dtype),
+                        iBu=jnp.asarray(iBu, dtype), periodic=False,
+                        delta=h, refine=False, fac=None)
+
+
 def applicable(nl: int, strl) -> bool:
     """True when strl is spatially uniform per interface (or nl == 1)."""
     if nl == 1 or strl is None:

@@ -151,7 +151,10 @@ def test_run_node_sharded_matches_unsharded(tmp_path):
     in-loop wavelet-filter event."""
     params = NODE_PARAMS + "\nnl = 2\nN2 = [1.0]\ndh = [0.5, 0.5]\n" \
         "dtflt = 0.4\nLfmax = 30.0\nLfmin = 10.0\nbc_fac = 1.0\n"
-    cfg = load_node_config(params)
+    # the vertex-sharded step runs the multigrid; the unsharded reference
+    # must use the same algorithm for trajectory equality (the default
+    # "auto" solver picks the exact nodal spectral solve instead)
+    cfg = load_node_config(params, solver="vmg")
     out_u = str(tmp_path / "u")
     st_u, _ = run_node(cfg, outdir=out_u, restart=None, params_text=params)
     out_s = str(tmp_path / "s")

@@ -217,3 +217,53 @@ def test_periodic_node_driver_end_to_end(tmp_path):
     rows = np.array([[float(v) for v in ln.split(",")] for ln in lines[1:]])
     assert np.all(np.isfinite(rows))
     assert float(st.t) == pytest.approx(0.6, abs=1e-9)
+
+
+def test_nodal_spectral_inversion_exact_and_matches_vmg():
+    """The direct nodal spectral inversion (DST-I x vertical modes on the
+    interior vertices with zero ring, solvers/spectral.build_spectral_node)
+    must satisfy the masked nodal residual at roundoff — far below the
+    multigrid's TOLERANCE — and agree with the vmg solution within the
+    multigrid's own tolerance, baroclinic AND barotropic (iRd2_low)."""
+    for cfg in (bc_cfg(), bt_cfg(gp_low=4.0, dh=(0.5,))):
+        const = qn.build_constants(cfg)
+        assert const.nspec is not None
+        state = qn.init_state(cfg, const, seed=3)
+        psi0 = state.psi + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(5), state.psi.shape, state.psi.dtype)
+        psi0 = vertex.bc_psi(psi0)
+        q = qn.comp_q(cfg, const, psi0)
+
+        psi_sp, st_sp = qn.invert_q(cfg, const, jnp.zeros_like(q), q)
+        # masked residual of the spectral solution: machine precision
+        qm = q * const.mask
+        _, res_sp = vmg.residual_v(psi_sp, qm, const.vlevels[0],
+                                   const.idh0, const.idh1)
+        assert float(res_sp) < 1e-10 * float(jnp.abs(qm).max())
+
+        import dataclasses as dc
+        cfg_v = dc.replace(cfg, solver="vmg")
+        psi_mg, st_mg = qn.invert_q(cfg_v, const, jnp.zeros_like(q), q)
+        # the mg solution error = A^-1(residual): amplified by ~1/lam_min
+        # ~ (L0/pi)^2/2 over the residual tolerance — a sanity band, the
+        # exactness claim is the roundoff residual above
+        scale = float(jnp.abs(psi_sp).max())
+        assert float(jnp.abs(psi_mg - psi_sp).max()) < 1e3 * cfg.TOLERANCE \
+            * max(scale, 1.0)
+
+
+def test_nodal_spectral_not_applicable_cases():
+    """Non-default masks and y-varying S2 (flag_ms) must fall back to the
+    multigrid (auto) or raise (explicit spectral)."""
+    import dataclasses as dc
+
+    cfg = bc_cfg(flag_ms=1)
+    const = qn.build_constants(cfg)
+    assert const.nspec is None          # S2 varies in y
+    with pytest.raises(ValueError):
+        qn.build_constants(dc.replace(cfg, solver="spectral"))
+    cfg2 = bc_cfg()
+    m = np.array(vertex.default_mask(cfg2.N))
+    m[10:14, 10:14] = 0.0               # island
+    const2 = qn.build_constants(cfg2, mask=m)
+    assert const2.nspec is None

@@ -33,7 +33,10 @@ def _cfg(nl, bc_fac, nu4=0.0, N=64):
         tau1=5e-4, tf1=2.0, tf2=3.0, dy_ws=0.3, nu=5.0, nu4=nu4,
         dh=tuple([1.0 / nl] * nl), N2=tuple([1.0] * max(nl - 1, 1)),
         noise_init=1e-3, bc_fac=bc_fac, DT=5e-2, tend=1.0, dtout=1.0,
-        CFL=0.2, TOLERANCE=1e-8, dtype="float64")
+        # solver="vmg": the sharded vertex step runs the multigrid, so the
+        # unsharded reference must too (the default "auto" picks the exact
+        # nodal spectral solve, which differs at the mg-tolerance level)
+        CFL=0.2, TOLERANCE=1e-8, solver="vmg", dtype="float64")
 
 
 def _run_sharded(cfg, const, state0, shape, steps):
