@@ -529,7 +529,10 @@ def rhs_pv(cfg, const, q, psi, t):
     # dissipation (:159-170): harmonic on (stretch+del2 of zeta), biharmonic
     dq = dq + cfg.nu * stretch(zeta, const.S2, const.idh0, const.idh1)
     tmp = vmg._vlap(zeta, d)
-    tmp = vertex.bc_deriv(tmp, zeta, cfg.bc_fac, d)  # set_bc_ms tmp relation
+    # set_bc_ms tmp relation (qg_baroclinic_ms.h:67-69): the parent's OWN
+    # ring value is subtracted (zeta's slip ring is nonzero for bc_fac > 0)
+    # — found by the independent oracle lockstep (tests/oracle_node.py)
+    tmp = vertex.bc_deriv_rel(tmp, zeta, cfg.bc_fac, d)
     dq = dq + cfg.nu * tmp
     if cfg.nu4 != 0.0:
         dq = dq - cfg.nu4 * (stretch(tmp, const.S2, const.idh0, const.idh1)

@@ -57,6 +57,22 @@ def bc_deriv(field, psi, bc_fac, delta, psi_bc=0.0):
                     0.0)
 
 
+def bc_deriv_rel(field, parent, bc_fac, delta):
+    """set_bc_ms's SECOND-derived-field ring relation (the biharmonic
+    intermediate, qg_baroclinic_ms.h:67-69): ring value =
+    2*bc_fac/Delta^2 * (first_interior(parent) - parent_ring) — "first
+    interior point minus boundary point", where the parent's own ring
+    value (e.g. zeta's slip ring, nonzero for bc_fac > 0) is subtracted,
+    unlike bc_deriv's scalar psi_bc."""
+    c = 2.0 * bc_fac / (delta * delta)
+    return set_ring(field,
+                    c * (parent[..., 1:-1, 1] - parent[..., 1:-1, 0]),
+                    c * (parent[..., 1:-1, -2] - parent[..., 1:-1, -1]),
+                    c * (parent[..., 1, 1:-1] - parent[..., 0, 1:-1]),
+                    c * (parent[..., -2, 1:-1] - parent[..., -1, 1:-1]),
+                    0.0)
+
+
 def default_mask(N, dtype=jnp.float32):
     """1 at interior nodes, 0 on the boundary ring (qg.h:422-431)."""
     m = np.ones((N + 1, N + 1))

@@ -198,6 +198,28 @@ def slip_high(psi, bc_fac, delta, ym="y", xm="x"):
     return c * psi[..., -1, :], c * psi[..., :, -1]
 
 
+def bc_deriv_rel_own(field, parent, bc_fac, delta):
+    """vertex.bc_deriv_rel on owned rep (set_bc_ms's tmp relation,
+    qg_baroclinic_ms.h:67-69): stored-ring value = 2*bc_fac/Delta^2 *
+    (parent first interior - parent ring); corners 0."""
+    c = 2.0 * bc_fac / (delta * delta)
+    gy, gx = _grow_gcol(field)
+    up = jnp.roll(parent, -1, axis=-2)
+    right = jnp.roll(parent, -1, axis=-1)
+    out = jnp.where((gy == 0)[None], c * (up - parent), field)
+    out = jnp.where((gx == 0)[None], c * (right - parent), out)
+    corner = (gy == 0) & (gx == 0)
+    return jnp.where(corner[None], jnp.zeros((), field.dtype), out)
+
+
+def slip_high_rel(parent, parent_hr, parent_hc, bc_fac, delta):
+    """Dropped-ring ghosts of the tmp relation: 2*bc_fac/Delta^2 *
+    (parent first interior - parent's OWN dropped-ring value)."""
+    c = 2.0 * bc_fac / (delta * delta)
+    return (c * (parent[..., -1, :] - parent_hr),
+            c * (parent[..., :, -1] - parent_hc))
+
+
 def ring_slices(ring: VertexRing, ny_l: int, nx_l: int, ym="y", xm="x"):
     """This tile's slices of the frozen q ring (consumed only by the
     top/right wall tiles)."""
@@ -513,10 +535,12 @@ def rhs_pv_sharded(cfg, c: VertexShardConst, q, psi, t, ym="y", xm="x"):
     dq = dq.at[nl - 1].add(bot)
     dq = dq + cfg.nu * stretch(zeta, c.S2, c.idh0, c.idh1)
     tmp = _vlap_own(zeta_gh, d)
-    tmp = bc_deriv_own(tmp, zeta, cfg.bc_fac, d)
+    # set_bc_ms tmp relation: parent's OWN ring subtracted (see
+    # models.qg_node.rhs_pv and tests/oracle_node.py)
+    tmp = bc_deriv_rel_own(tmp, zeta, cfg.bc_fac, d)
     dq = dq + cfg.nu * tmp
     if cfg.nu4 != 0.0:
-        t_hr, t_hc = slip_high(zeta, cfg.bc_fac, d)
+        t_hr, t_hc = slip_high_rel(zeta, z_hr, z_hc, cfg.bc_fac, d)
         tmp_gh = vghost(tmp, high_row=t_hr, high_col=t_hc)
         dq = dq - cfg.nu4 * (stretch(tmp, c.S2, c.idh0, c.idh1)
                              + _vlap_own(tmp_gh, d))

@@ -74,7 +74,72 @@ def table(rows, cols):
     return "\n".join([head, sep] + body)
 
 
+def lockstep_node(cfg, steps, seed, record_at, oracle_kw=None,
+                  const_kw=None):
+    from msom_tpu.models import qg_node as qn
+    from tests.oracle_node import NodeOracle
+
+    const = qn.build_constants(cfg, **(const_kw or {}))
+    state = qn.init_state(cfg, const, seed=seed)
+    orc = NodeOracle(cfg, **(oracle_kw or {}))
+    psi = np.asarray(state.psi, np.float64)
+    q = orc.comp_q(psi.copy())
+    step = jax.jit(qn.make_step(cfg))
+    prev, t = 0.0, 0.0
+    tnext = jnp.asarray(1e18, state.t.dtype)
+    rows = []
+    for i in range(1, steps + 1):
+        q, psi, prev, dt_o = orc.step(q, psi, prev, t)
+        t += dt_o
+        state, diag = step(state, const, tnext)
+        if i in record_at:
+            rows.append(dict(
+                i=i, t=t, dt=dt_o, ke=float(diag.ke),
+                relq=float(np.abs(np.asarray(state.q) - q).max()
+                           / np.abs(q).max()),
+                relpsi=float(np.abs(np.asarray(state.psi) - psi).max()
+                             / np.abs(psi).max())))
+    return rows
+
+
+def lockstep_pg(cfg, steps, record_at):
+    from msom_tpu.models import mspg
+    from tests.oracle_pg import PGOracle
+
+    const = mspg.build_constants(cfg)
+    state = mspg.init_state(cfg, const)
+    step = jax.jit(mspg.make_step(cfg))
+    orc = PGOracle(cfg, const)
+    b = np.zeros((cfg.nl, cfg.N, cfg.N))
+    ux = np.zeros((cfg.nl, cfg.N, cfg.N + 1))
+    uy = np.zeros((cfg.nl, cfg.N + 1, cfg.N))
+    prev, t = 0.0, 0.0
+    tnext = jnp.asarray(1e18, state.t.dtype)
+    rows = []
+    for i in range(1, steps + 1):
+        b, ux, uy, prev, dt_o = orc.step(b, ux, uy, prev, t)
+        t += dt_o
+        state, diag = step(state, const, tnext)
+        if i in record_at:
+            us = max(np.abs(ux).max(), np.abs(uy).max(), 1e-30)
+            rows.append(dict(
+                i=i, t=t, dt=dt_o,
+                relq=float(np.abs(np.asarray(state.b) - b).max()
+                           / max(np.abs(b).max(), 1e-30)),
+                relpsi=float(max(
+                    np.abs(np.asarray(state.ux) - ux).max(),
+                    np.abs(np.asarray(state.uy) - uy).max()) / us)))
+    return rows
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--north-star", action="store_true",
+                    help="also run the 1000-step 256^2 x 3 lockstep "
+                         "(BASELINE.md north-star bar; ~20 min on CPU)")
+    args = ap.parse_args()
+
     rec64 = set(range(25, 251, 25)) | {1, 5, 10}
     rows_sp, q_f, psi_f = lockstep(verron(64, "spectral"), 250, 42, rec64)
     rows_mg, _, _ = lockstep(verron(64, "mg"), 250, 42, rec64)
@@ -82,6 +147,42 @@ def main():
                               {1, 10, 20, 30, 40, 50, 60})
     rows_slip, _, _ = lockstep(verron(64, "spectral", sbc=1.0), 80, 7,
                                {1, 20, 40, 60, 80})
+
+    # qg-node + mspg independent oracles (r4)
+    from msom_tpu.models import qg_node as qn
+    from msom_tpu.params import PGConfig
+    node_cfg = qn.NodeQGConfig(
+        N=64, nl=3, L0=100.0, f0=46.5, beta=0.5, hEkb=1e-3, tau0=1e-3,
+        tau1=5e-4, tf1=2.0, tf2=3.0, dy_ws=0.3, nu=5.0,
+        dh=(0.2, 0.3, 0.5), N2=(1.0, 2.0), noise_init=1e-3, bc_fac=0.0,
+        DT=5e-2, tend=10.0, dtout=10.0, CFL=0.2, TOLERANCE=1e-8,
+        solver="spectral", dtype="float64")
+    rows_node = lockstep_node(node_cfg, 100, 11,
+                              {1, 10, 25, 50, 75, 100})
+    pg_cfg = PGConfig(N=32, nl=8, ys=0.3, r=0.02, tau_s=3e-2, tau0=0.12,
+                      kv=1e-4, kh=1e-4, omega=0.2, DT=1e-2, CFL=0.4,
+                      tend=10.0, dtout=10.0, dtype="float64")
+    rows_pg = lockstep_pg(pg_cfg, 120, {1, 10, 30, 60, 90, 120})
+
+    rows_1000 = None
+    if args.north_star:
+        rec1000 = set(range(100, 1001, 100)) | {1, 10, 50}
+        rows_1000, _, _ = lockstep(verron(256, "spectral"), 1000, 42,
+                                   rec1000)
+
+    north_star_md = ""
+    if rows_1000 is not None:
+        north_star_md = f"""
+## North star: 256^2 x 3, 1000 steps, solver="spectral" (deck-native N)
+
+BASELINE.md's stated bar verbatim: "psi/q allclose after 1000 steps of the
+double-gyre run" at the deck's own N = 256
+(/root/reference/msqg/test/params.double_gyre.in). Machine precision
+throughout. Recorded table (regenerate: make_golden.py --north-star; not a
+CI test — ~20 min):
+
+{table(rows_1000, ["i", "t", "ke", "relq", "relpsi"])}
+"""
 
     md = f"""# GOLDEN — lockstep trajectory record (Verron double gyre)
 
@@ -142,7 +243,35 @@ within the tolerance the physics cares about" (the spectral path is strictly
 more accurate than the reference's own solver):
 
 {table(rows_mg, ["i", "relq", "relpsi", "relke"])}
-"""
+
+## qg-node 64^2 x 3 baroclinic, 100 steps, seed 11 (independent oracle)
+
+Lockstep vs `tests/oracle_node.py` — an independent NumPy/scipy
+re-transcription of the qg-node step (explicit slice stencils + sparse-LU
+interior inversion vs the model's roll-based views + DST-I spectral solve);
+the model runs solver="spectral". This oracle FOUND and pinned a real model
+deviation in r4: the biharmonic intermediate's no-slip ring relation
+(set_bc_ms, qg_baroclinic_ms.h:67-69 — the parent's own ring value must be
+subtracted), fixed in models/qg_node.py + parallel/vshard.py. The coupled
+no-slip variant (PG coupling + topography + 3-D forcing + nu4, bc_fac = 1)
+and the nl = 1 barotropic module are regression-locked at the same
+precision by tests/test_lockstep_node.py.
+
+{table(rows_node, ["i", "t", "dt", "ke", "relq", "relpsi"])}
+
+## mspg 32^2 x 30-sigma gyre spin-up, 120 steps (independent oracle)
+
+Lockstep vs `tests/oracle_pg.py` — an independent NumPy re-transcription of
+update_pg/advance_pg (pg.h:733-800: flux-form advection with the diagnostic
+w integrated in a literal bottom-up layer loop, literal Thomas vertical
+diffusion, sequential top-down convection sweep, surface relaxation,
+momentum, barotropic adjustment). relq column = relative buoyancy error,
+relpsi = relative face-velocity error. The init-time barotropic solve
+(btsolver + circ_bc) is shared setup, validated separately by
+tests/test_mspg.py.
+
+{table(rows_pg, ["i", "t", "dt", "relq", "relpsi"])}
+{north_star_md}"""
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "GOLDEN.md")
     with open(out, "w") as f:

@@ -43,11 +43,11 @@ def build(N, nl, solver):
     return cfg, const, state
 
 
-def run(overlap, N, nl, steps):
+def run(overlap, N, nl, steps, solver="mg"):
     os.environ["MSOM_HALO_OVERLAP"] = "1" if overlap else "0"
     from msom_tpu.parallel.step import make_qg_step_sharded
 
-    cfg, const, state = build(N, nl, "mg")
+    cfg, const, state = build(N, nl, solver)
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
     step, place = make_qg_step_sharded(cfg, mesh, state, const)
     s, c = place(state), place(const)
@@ -74,14 +74,19 @@ def main():
     p.add_argument("--N", type=int, default=2048)
     p.add_argument("--nl", type=int, default=4)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--solver", default="mg",
+                   choices=["mg", "spectral", "both"])
     args = p.parse_args()
-
-    w_sync = run(False, args.N, args.nl, args.steps)
-    w_over = run(True, args.N, args.nl, args.steps)
-    print(f"shard_map mg step {args.N}^2 x {args.nl}, 1x1 mesh:")
-    print(f"  bulk-synchronous: {w_sync * 1e3:.2f} ms/step")
-    print(f"  overlapped:       {w_over * 1e3:.2f} ms/step "
-          f"(delta {100 * (w_over - w_sync) / w_sync:+.1f}%)")
+    solvers = ["mg", "spectral"] if args.solver == "both" else [args.solver]
+    for solver in solvers:
+        w_sync = run(False, args.N, args.nl, args.steps, solver)
+        w_over = run(True, args.N, args.nl, args.steps, solver)
+        print(f"shard_map {solver} step {args.N}^2 x {args.nl}, 1x1 mesh:",
+              flush=True)
+        print(f"  bulk-synchronous: {w_sync * 1e3:.2f} ms/step", flush=True)
+        print(f"  overlapped:       {w_over * 1e3:.2f} ms/step "
+              f"(delta {100 * (w_over - w_sync) / w_sync:+.1f}%)",
+              flush=True)
 
 
 if __name__ == "__main__":
