@@ -17,9 +17,13 @@ uncoupled case alone (dozens of unfused roll/select kernels); each kernel
 here is one grid pass.
 
 Not covered (callers fall back to models.qg.rhs): the doubly-periodic case
-sbc == -1 (wrap ghosts + the custom pp ghost law, msqg/qg.h:1105-1114), and
-spatially x-varying stretching/wind/Ro fields (the kernel streams them as
-y-profiles; a 2-D frpg input disables it).
+WITH large-scale coupling (pp carries the custom non-wrap ghost law,
+msqg/qg.h:1105-1114), and spatially x-varying stretching/wind/Ro fields
+(the kernel streams them as y-profiles; a 2-D frpg input disables it).
+The plain doubly-periodic case (sbc == -1, pp == 0) IS covered: the halo
+slabs WRAP (modular BlockSpec index maps) and every ghost rule becomes a
+pure roll; topography keeps its Neumann pad exactly as the XLA path's
+topo_pad does.
 
 Ghost handling: ghost values are materialized in-register from the uniform
 per-axis rules, composed x-after-y exactly like ops.bc.pad / ops.ghost:
@@ -108,7 +112,10 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
     strl_prof: (nl-1, N) y-profile (None for nl == 1); const_wind: (N, N)
     x-constant; Ro: (N, N) x-constant (only consumed with topography);
     pp_pad/topo_pad: the padded constant fields from QGConstants."""
-    if cfg.sbc < 0:
+    periodic = cfg.sbc < 0
+    if periodic and pp_pad is not None:
+        # the periodic pp ghost law is custom (msqg/qg.h:1105-1114) — not
+        # streamable with uniform rules; fall back to the XLA path
         return None
     N, nl = cfg.N, cfg.nl
     dt = jnp.dtype(cfg.dtype)
@@ -164,9 +171,10 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
 
 def applicable(cfg, const) -> bool:
     """Static config gate (see module docstring): every walled (sbc >= 0)
-    configuration whose profile fields are x-constant and for which a VMEM
-    tile exists — coupled or not."""
-    return (cfg.sbc >= 0.0 and getattr(cfg, "use_pallas", True)
+    configuration — coupled or not — and the plain doubly-periodic case,
+    whenever the profile fields are x-constant and a VMEM tile exists
+    (rhsk presence encodes all of that, decided at build time)."""
+    return (getattr(cfg, "use_pallas", True)
             and getattr(const, "rhsk", None) is not None)
 
 
@@ -291,9 +299,20 @@ def _stretch_prof(a, s, idh0, idh1):
     return jnp.stack(rows, axis=0)
 
 
+def _views_wrap(f):
+    """center + 8 neighbor views under doubly-periodic wrap (pure rolls;
+    the y-wrap is carried by the modular halo slabs)."""
+    fE = jnp.roll(f, -1, axis=2)
+    fW = jnp.roll(f, 1, axis=2)
+    return dict(c=f, e=fE, w=fW, n=_yroll(f, 1), s=_yroll(f, -1),
+                ne=_yroll(fE, 1), se=_yroll(fE, -1),
+                nw=_yroll(fW, 1), sw=_yroll(fW, -1))
+
+
 def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
                 idh0, idh1, has_strl, has_pg, flsrv, has_topo, has_qforc,
-                need_q, stochastic, energy_conserv, itr_stoch, sbc):
+                need_q, stochastic, energy_conserv, itr_stoch, sbc,
+                periodic):
     it = iter(refs)
     psi_c, psi_u, psi_d = next(it), next(it), next(it)
     if need_q:
@@ -326,27 +345,39 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
     psi = slab(psi_c, psi_u, psi_d)
     grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
 
-    psi = _yfix(psi, grow, nglob)
     s = strl_r[0, :, :, :] if has_strl else None   # (nl-1, R, 1)
     wind = wind_r[0, 0, :, :]                       # (R, 1)
 
-    zeta = _lap(psi, id2)
-    pv = _views(psi)
-    if slip:
-        zv = _views_slip(zeta, psi, grow, nglob, 2.0 * cslip)
+    if periodic:
+        # the halo slabs wrap (modular index maps), so every ghost is a
+        # pure roll — no wall-row materialization anywhere
+        pv = _views_wrap(psi)
+        zeta = (pv["e"] + pv["w"] + pv["n"] + pv["s"] - 4.0 * psi) * id2
+        zv = _views_wrap(zeta)
+        zeta_f = zeta
+        if need_q:
+            q = slab(q_c, q_u, q_d)
+            if energy_conserv:
+                qv = _views_wrap(q)
     else:
-        zv = _views(_yfix(zeta, grow, nglob))
-    zeta_f = zv["c"]   # zeta with its wall ghost rows materialized
+        psi = _yfix(psi, grow, nglob)
+        zeta = _lap(psi, id2)
+        pv = _views(psi)
+        if slip:
+            zv = _views_slip(zeta, psi, grow, nglob, 2.0 * cslip)
+        else:
+            zv = _views(_yfix(zeta, grow, nglob))
+        zeta_f = zv["c"]   # zeta with its wall ghost rows materialized
 
-    if has_pg:
-        pp = _yfix(slab(pp_c, pp_u, pp_d), grow, nglob)
-        ppv = _views(pp)
-        if flsrv:
-            zpv = _views(_yfix(_lap(pp, id2), grow, nglob))
-    if need_q:
-        q = slab(q_c, q_u, q_d)
-        if energy_conserv:
-            qv = _views(_yfix(q, grow, nglob))
+        if has_pg:
+            pp = _yfix(slab(pp_c, pp_u, pp_d), grow, nglob)
+            ppv = _views(pp)
+            if flsrv:
+                zpv = _views(_yfix(_lap(pp, id2), grow, nglob))
+        if need_q:
+            q = slab(q_c, q_u, q_d)
+            if energy_conserv:
+                qv = _views(_yfix(q, grow, nglob))
 
     # advection: J(psi, zeta) + beta v (advection_pv, msqg/qg.h:287-393);
     # the msqg core skips advection entirely for nl == 1 (qg.h:376-379).
@@ -402,7 +433,11 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
         if tmp is None:
             tmp = (zv["e"] + zv["w"] + zv["n"] + zv["s"]
                    - 4.0 * zv["c"]) * id2
-        if slip:
+        if periodic:
+            tv_ = _views_wrap(tmp)
+            bih = (tv_["e"] + tv_["w"] + tv_["n"] + tv_["s"]
+                   - 4.0 * tmp) * id2
+        elif slip:
             # intermediate ghosts c*(zeta_in - zeta_ghost), zeta_ghost =
             # 2c*psi (ops.bc.pad_zeta_slip applied to the tmp field)
             w = cslip * (zeta - 2.0 * cslip * psi)
@@ -474,18 +509,26 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
     nl, n, nx = psi.shape
     T = kd.T
     nb, tb = n // 8, T // 8
+    periodic = cfg.sbc < 0
     need_q = bool(cfg.stochastic or cfg.energy_conserv)
     has_pg = kd.pp is not None
     has_topo = kd.topo is not None
     has_qforc = const.qforc is not None
 
-    def specs3(c):
+    def specs3(c, wrap=periodic):
         center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
-        up = pl.BlockSpec((c, 8, nx),
-                          lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
-        down = pl.BlockSpec((c, 8, nx),
-                            lambda i: (0, jnp.minimum((i + 1) * tb,
-                                                      nb - 1), 0))
+        if wrap:
+            # periodic: the halo slabs wrap around the global y boundary
+            up = pl.BlockSpec((c, 8, nx),
+                              lambda i: (0, (i * tb - 1) % nb, 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, ((i + 1) * tb) % nb, 0))
+        else:
+            up = pl.BlockSpec((c, 8, nx),
+                              lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, jnp.minimum((i + 1) * tb,
+                                                          nb - 1), 0))
         return [center, up, down]
 
     def prof_spec(carr):
@@ -501,7 +544,7 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
         in_specs += specs3(nl)
     if has_topo:
         args += [kd.topo, kd.topo, kd.topo]
-        in_specs += specs3(1)
+        in_specs += specs3(1, wrap=False)   # topo pad is Neumann always
     if has_qforc:
         args += [const.qforc]
         in_specs += [pl.BlockSpec((nl, T, nx), lambda i: (0, i, 0))]
@@ -527,7 +570,8 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
         has_topo=has_topo, has_qforc=has_qforc, need_q=need_q,
         stochastic=bool(cfg.stochastic),
         energy_conserv=bool(cfg.energy_conserv),
-        itr_stoch=float(cfg.itr_stoch), sbc=float(cfg.sbc))
+        itr_stoch=float(cfg.itr_stoch), sbc=float(cfg.sbc),
+        periodic=periodic)
     dq, umax_tiles = pl.pallas_call(
         kern,
         grid=(n // T,),
@@ -552,7 +596,7 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
 # ---------------------------------------------------------------------------
 
 def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
-                   nl, nptr, delta, iPe, ptr_ir, has_relax):
+                   nl, nptr, delta, iPe, ptr_ir, has_relax, periodic):
     if has_relax:
         relax_c, out_ref = rest
     else:
@@ -568,12 +612,15 @@ def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
             [u[:, 8 - _H:8, :], c[:], d[:, 0:_H, :]], axis=1)
 
     grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
-    psi = _yfix(slab(psi_c, psi_u, psi_d), grow, nglob)
-    pv = _views(psi)
+    tr = slab(tr_c, tr_u, tr_d)                       # (nl*nptr, R, nx)
+    if periodic:
+        pv = _views_wrap(slab(psi_c, psi_u, psi_d))
+        trv = _views_wrap(tr)                         # wrap tracer ghosts
+    else:
+        pv = _views(_yfix(slab(psi_c, psi_u, psi_d), grow, nglob))
+        trv = _views(_yfix(tr, grow, nglob, sign=1.0), sign=1.0)  # Neumann
     # one psi-view set per tracer: flatten order (l, j) -> repeat per layer
     pv_e = {k: jnp.repeat(a, nptr, axis=0) for k, a in pv.items()}
-    tr = slab(tr_c, tr_u, tr_d)                       # (nl*nptr, R, nx)
-    trv = _views(_yfix(tr, grow, nglob, sign=1.0), sign=1.0)  # Neumann
 
     dtr = _mjac(pv_e, trv, i12d2)
     lap_tr = (trv["e"] + trv["w"] + trv["n"] + trv["s"]
@@ -604,14 +651,21 @@ def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
     nb, tb = n // 8, T // 8
     tr_flat = tracers.reshape(ntr, n, nx)
     has_relax = const.ptr_relax is not None
+    periodic = cfg.sbc < 0
 
     def specs3(c):
         center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
-        up = pl.BlockSpec((c, 8, nx),
-                          lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
-        down = pl.BlockSpec((c, 8, nx),
-                            lambda i: (0, jnp.minimum((i + 1) * tb,
-                                                      nb - 1), 0))
+        if periodic:
+            up = pl.BlockSpec((c, 8, nx),
+                              lambda i: (0, (i * tb - 1) % nb, 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, ((i + 1) * tb) % nb, 0))
+        else:
+            up = pl.BlockSpec((c, 8, nx),
+                              lambda i: (0, jnp.maximum(i * tb - 1, 0), 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, jnp.minimum((i + 1) * tb,
+                                                          nb - 1), 0))
         return [center, up, down]
 
     args = [psi, psi, psi, tr_flat, tr_flat, tr_flat]
@@ -624,7 +678,7 @@ def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
         delta=float(cfg.delta),
         iPe=tuple(float(v) for v in cfg.iPe[:nptr]),
         ptr_ir=tuple(float(v) for v in cfg.ptr_ir[:nptr]),
-        has_relax=has_relax)
+        has_relax=has_relax, periodic=periodic)
     dtr = pl.pallas_call(
         kern,
         grid=(n // T,),

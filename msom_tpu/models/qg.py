@@ -250,9 +250,10 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
 
     # fused Pallas RHS fast path: every walled (sbc >= 0) configuration —
     # coupled (PG/topo/qforc/tracers) or not, standard/stochastic/EC
-    # advection — with y-profile (x-constant) strl/wind/Ro
+    # advection — plus the plain doubly-periodic case, with y-profile
+    # (x-constant) strl/wind/Ro (build_kernel_data decides)
     rhsk = None
-    if cfg.sbc >= 0.0 and cfg.use_pallas:
+    if cfg.use_pallas:
         from msom_tpu.models import pallas_rhs
         s_np = None if strl is None else np.asarray(strl)
         sprof = None

@@ -255,3 +255,33 @@ def test_step_with_kernel_matches_xla_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(s_p.q), np.asarray(s_x.q),
                                atol=1e-11)
     np.testing.assert_allclose(float(s_p.t), float(s_x.t), rtol=1e-12)
+
+
+def test_rhs_fused_periodic():
+    """The plain doubly-periodic case (sbc = -1, no PG coupling): wrap
+    ghosts via modular halo slabs — uncoupled, stochastic and tracer
+    variants, with topography keeping its Neumann pad."""
+    rng = np.random.default_rng(9)
+    base = _base_kw(sbc=-1.0)
+
+    cfg = QGConfig(**base).validate()
+    const = m.build_constants(cfg)
+    assert pallas_rhs.applicable(cfg, const)
+    _compare_rhs(cfg, const)
+
+    cfg_st = QGConfig(**_base_kw(sbc=-1.0, stochastic=True,
+                                 tr_stoch=50.0)).validate()
+    const_st = m.build_constants(cfg_st)
+    _compare_rhs(cfg_st, const_st)
+
+    cfg_tr = QGConfig(**_base_kw(sbc=-1.0, nptr=2, Pe=(1e3, 2e3),
+                                 ptr_r=(100.0, 0.0))).validate()
+    const_tr = m.build_constants(cfg_tr,
+                                 topo=_smooth(rng, (128, 128), 128))
+    assert const_tr.rhsk.Ttr > 0
+    _compare_rhs(cfg_tr, const_tr)
+
+    # periodic + PG coupling must fall back (custom pp ghost law)
+    cfg_pg = QGConfig(**_base_kw(sbc=-1.0, upg=(0.1, 0.0, 0.0))).validate()
+    const_pg = m.build_constants(cfg_pg)
+    assert not pallas_rhs.applicable(cfg_pg, const_pg)
