@@ -66,6 +66,9 @@ class NodeQGConfig:
     amp_stoch: float = 0.0
     L_filt_stoch: float = 0.0
     stochastic: bool = False
+    use_pallas: bool = True  # TPU-runtime knob: fused nodal RHS kernel
+    #                          (models/pallas_node_rhs.py); sharded paths
+    #                          keep the partitionable XLA lowering
     solver: str = "auto"     # PV inversion: "auto" picks the direct nodal
     #                          spectral solve (DST-I x vertical modes,
     #                          solvers/spectral.build_spectral_node — exact,
@@ -145,12 +148,13 @@ class NodeQGConstants:
     idh1: tuple
     nspec: Any = None              # spectral.SpectralData nodal direct
     #                                inversion (DST-I x modes), or None
+    nrhsk: Any = None              # pallas_node_rhs.NodeRhsData, or None
 
 
 jax.tree_util.register_dataclass(
     NodeQGConstants,
     data_fields=["mask", "psi_pg", "S2", "topo", "q_forcing_3d", "sig_lev",
-                 "sig_lev_c", "mask_c", "vlevels", "yv", "nspec"],
+                 "sig_lev_c", "mask_c", "vlevels", "yv", "nspec", "nrhsk"],
     meta_fields=["idh0", "idh1"])
 
 
@@ -294,6 +298,12 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
                 "solver='spectral' needs the default wall mask and "
                 "horizontally-uniform S2 (flag_ms=0); use solver='vmg'")
 
+    nrhsk = None
+    if cfg.use_pallas:
+        from msom_tpu.models import pallas_node_rhs
+        nrhsk = pallas_node_rhs.build_node_kernel_data(
+            cfg, S2, psi_pg, topo, q_forcing_3d)
+
     return NodeQGConstants(
         mask=mask, psi_pg=psi_pg, S2=S2, topo=topo_arr,
         q_forcing_3d=None if q_forcing_3d is None
@@ -301,7 +311,7 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
         sig_lev=None, sig_lev_c=sig_lev_c, mask_c=mask_c,
         vlevels=vlevels, yv=jnp.asarray(Yv, dt),
         idh0=tuple(float(v) for v in idh0),
-        idh1=tuple(float(v) for v in idh1), nspec=nspec)
+        idh1=tuple(float(v) for v in idh1), nspec=nspec, nrhsk=nrhsk)
 
 
 def _build_constants_periodic(cfg, *, psi_pg=None, N2=None, topo=None,
@@ -422,15 +432,20 @@ def invert_q(cfg, const, psi_guess, q):
     return psi, st
 
 
-def q_forcing_field(cfg, const, t):
-    """Time-varying wandering-gyre wind (event forcing, qg.c:136-145)."""
-    y = const.yv
+def q_forcing_profile(cfg, y, t):
+    """Time-varying wandering-gyre wind on a y array (event forcing,
+    qg.c:136-145) — x-constant, so a (M,) profile suffices."""
     amp = -(cfg.tau0 + cfg.tau1 * jnp.cos(2 * jnp.pi * t / cfg.tf1)) \
         / cfg.dh[0] * cfg.forc_mode * jnp.pi / cfg.L0
     arg = cfg.forc_mode * jnp.pi * (
         y + y * (y - cfg.L0) * 2 / (cfg.L0 ** 2) * cfg.dy_ws
         * jnp.sin(2 * jnp.pi * t / cfg.tf2)) / cfg.L0
     return amp * jnp.sin(arg)
+
+
+def q_forcing_field(cfg, const, t):
+    """Time-varying wandering-gyre wind (event forcing, qg.c:136-145)."""
+    return q_forcing_profile(cfg, const.yv, t)
 
 
 def _rhs_pv_periodic(cfg, const, q, psi, t):
@@ -486,6 +501,11 @@ def rhs_pv(cfg, const, q, psi, t):
     swaps the roles, giving +J)."""
     if cfg.periodic:
         return _rhs_pv_periodic(cfg, const, q, psi, t)
+    from msom_tpu.solvers import pallas_mg as _pk
+    if const.nrhsk is not None and cfg.use_pallas and _pk.enabled(psi.dtype):
+        from msom_tpu.models import pallas_node_rhs
+        qf_prof = q_forcing_profile(cfg, const.yv[:, 0], t)
+        return pallas_node_rhs.rhs_fused_node(cfg, const, q, psi, qf_prof)
     d = cfg.delta
     nl = cfg.nl
     m = const.mask

@@ -156,3 +156,141 @@ def ifdst_y(f: FoldedDST, y: jnp.ndarray) -> jnp.ndarray:
                         precision=_PREC)
         cur = jnp.concatenate([ec + cur, jnp.flip(ec - cur, -2)], axis=-2)
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Folded DST-I (odd lengths M = N-1): the nodal (vertex) transform
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FoldedDST1:
+    """Folded DST-I (spectral.dst1_matrix) — the same Lee even/odd recursion
+    as FoldedDST but over ODD lengths M = N-1: each fold has a middle
+    column that belongs to the even part alone (the odd rows' middle
+    coefficients are exactly zero: sin(pi(k+1)/2) at even k+1), so the even
+    blocks are (ceil(m/2), m//2+1) and the odd chain keeps folding odd
+    lengths. Output order permuted (build_fold1 returns the permutation —
+    apply to inv_den on both axes at build time)."""
+    Mes: tuple
+    Mleaf: jnp.ndarray
+    N: int
+    L: int
+
+
+jax.tree_util.register_dataclass(
+    FoldedDST1, data_fields=["Mes", "Mleaf"], meta_fields=["N", "L"])
+
+
+def build_fold1(N: int, dtype, L: int | None = None):
+    """(FoldedDST1, perm) for the (N-1)-point DST-I."""
+    from msom_tpu.solvers.spectral import dst1_matrix
+    if L is None:
+        L = default_levels(N)
+    if L == 0 or N < 32:
+        return None, None
+    M = dst1_matrix(N)
+    Mes = []
+    perm_parts = []
+    rows = np.arange(N - 1)
+    for _ in range(L):
+        m = M.shape[1]
+        h = m // 2
+        if m % 2 == 1:
+            # middle-column coefficients of the odd rows are identically 0
+            assert np.abs(M[1::2, h]).max() < 1e-10
+            Mes.append(jnp.asarray(M[0::2, :h + 1], dtype))
+        else:
+            Mes.append(jnp.asarray(M[0::2, :h], dtype))
+        perm_parts.append(rows[0::2])
+        M = np.ascontiguousarray(M[1::2, :h])
+        rows = rows[1::2]
+    perm = np.concatenate(perm_parts + [rows])
+    return FoldedDST1(Mes=tuple(Mes), Mleaf=jnp.asarray(M, dtype),
+                      N=N, L=L), perm
+
+
+def _widths1(f: FoldedDST1):
+    """Per-level (input width m, half h, odd) walking the odd chain."""
+    m = f.N - 1
+    out = []
+    for _ in range(f.L):
+        h = m // 2
+        out.append((m, h, m % 2 == 1))
+        m = h
+    return out
+
+
+def fdst1_x(f: FoldedDST1, x: jnp.ndarray) -> jnp.ndarray:
+    parts = []
+    cur = x
+    for Me, (m, h, odd) in zip(f.Mes, _widths1(f)):
+        xf = jnp.flip(cur[..., h + (1 if odd else 0):], -1)
+        e = cur[..., :h] + xf
+        if odd:
+            e = jnp.concatenate([e, cur[..., h:h + 1]], -1)
+        o = cur[..., :h] - xf
+        parts.append(jnp.einsum("ki,...i->...k", Me, e, precision=_PREC))
+        cur = o
+    parts.append(jnp.einsum("ki,...i->...k", f.Mleaf, cur,
+                            precision=_PREC))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def ifdst1_x(f: FoldedDST1, y: jnp.ndarray) -> jnp.ndarray:
+    widths = _widths1(f)
+    sizes = [Me.shape[0] for Me in f.Mes] + [f.Mleaf.shape[0]]
+    offs = np.cumsum([0] + sizes)
+    parts = [y[..., offs[i]:offs[i + 1]] for i in range(len(sizes))]
+    cur = jnp.einsum("ki,...k->...i", f.Mleaf, parts[-1], precision=_PREC)
+    for l in reversed(range(f.L)):
+        ec = jnp.einsum("ki,...k->...i", f.Mes[l], parts[l],
+                        precision=_PREC)
+        m, h, odd = widths[l]
+        if odd:
+            mid = ec[..., h:h + 1]
+            ec = ec[..., :h]
+            cur = jnp.concatenate([ec + cur, mid,
+                                   jnp.flip(ec - cur, -1)], axis=-1)
+        else:
+            cur = jnp.concatenate([ec + cur, jnp.flip(ec - cur, -1)],
+                                  axis=-1)
+    return cur
+
+
+def fdst1_y(f: FoldedDST1, x: jnp.ndarray) -> jnp.ndarray:
+    parts = []
+    cur = x
+    for Me, (m, h, odd) in zip(f.Mes, _widths1(f)):
+        xf = jnp.flip(cur[..., h + (1 if odd else 0):, :], -2)
+        e = cur[..., :h, :] + xf
+        if odd:
+            e = jnp.concatenate([e, cur[..., h:h + 1, :]], -2)
+        o = cur[..., :h, :] - xf
+        parts.append(jnp.einsum("ki,...ix->...kx", Me, e,
+                                precision=_PREC))
+        cur = o
+    parts.append(jnp.einsum("ki,...ix->...kx", f.Mleaf, cur,
+                            precision=_PREC))
+    return jnp.concatenate(parts, axis=-2)
+
+
+def ifdst1_y(f: FoldedDST1, y: jnp.ndarray) -> jnp.ndarray:
+    widths = _widths1(f)
+    sizes = [Me.shape[0] for Me in f.Mes] + [f.Mleaf.shape[0]]
+    offs = np.cumsum([0] + sizes)
+    parts = [y[..., offs[i]:offs[i + 1], :] for i in range(len(sizes))]
+    cur = jnp.einsum("ki,...kx->...ix", f.Mleaf, parts[-1],
+                     precision=_PREC)
+    for l in reversed(range(f.L)):
+        ec = jnp.einsum("ki,...kx->...ix", f.Mes[l], parts[l],
+                        precision=_PREC)
+        m, h, odd = widths[l]
+        if odd:
+            mid = ec[..., h:h + 1, :]
+            ec = ec[..., :h, :]
+            cur = jnp.concatenate([ec + cur, mid,
+                                   jnp.flip(ec - cur, -2)], axis=-2)
+        else:
+            cur = jnp.concatenate([ec + cur, jnp.flip(ec - cur, -2)],
+                                  axis=-2)
+    return cur

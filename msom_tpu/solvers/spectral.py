@@ -299,9 +299,14 @@ def solve_spectral(data: SpectralData, q: jnp.ndarray) -> jnp.ndarray:
                                                precision=_MODE_PRECISION)
     if data.fac is not None and not data.refine:
         from msom_tpu.solvers import ctdst
-        Q = ctdst.fdst_x(data.fac, ctdst.fdst_y(data.fac, qm))
-        P = Q * data.inv_den
-        pm = ctdst.ifdst_y(data.fac, ctdst.ifdst_x(data.fac, P))
+        if isinstance(data.fac, ctdst.FoldedDST1):
+            Q = ctdst.fdst1_x(data.fac, ctdst.fdst1_y(data.fac, qm))
+            P = Q * data.inv_den
+            pm = ctdst.ifdst1_y(data.fac, ctdst.ifdst1_x(data.fac, P))
+        else:
+            Q = ctdst.fdst_x(data.fac, ctdst.fdst_y(data.fac, qm))
+            P = Q * data.inv_den
+            pm = ctdst.ifdst_y(data.fac, ctdst.ifdst_x(data.fac, P))
     elif data.S is not None:
         if data.refine:
             pm = _mm_solve(data, qm, jax.lax.Precision.DEFAULT)
@@ -370,10 +375,19 @@ def build_spectral_node(*, nl: int, N: int, L0: float, dh=None,
     den = (lam[None, :, None] + lam[None, None, :] + iBu[:, None, None])
     with np.errstate(divide="ignore"):
         inv = np.where(den != 0.0, 1.0 / np.where(den != 0.0, den, 1.0), 0.0)
+    # folded DST-I (ctdst.FoldedDST1) for the f32 production sizes — same
+    # Lee even/odd win as the cell-centered transform (PERF.md r4)
+    fac = None
+    if (jnp.dtype(dtype).itemsize == 4 and N >= 512
+            and N & (N - 1) == 0):
+        from msom_tpu.solvers import ctdst
+        fac, perm = ctdst.build_fold1(N, dtype)
+        if fac is not None:
+            inv = inv[:, perm][:, :, perm]
     return SpectralData(inv_den=jnp.asarray(inv, dtype), l2m=l2m, m2l=m2l,
                         S=jnp.asarray(dst1_matrix(N), dtype),
                         iBu=jnp.asarray(iBu, dtype), periodic=False,
-                        delta=h, refine=False, fac=None)
+                        delta=h, refine=False, fac=fac)
 
 
 def applicable(nl: int, strl) -> bool:

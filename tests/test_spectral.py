@@ -331,3 +331,29 @@ def test_factored_solve_matches_matmul_solve():
     p_fc = np.asarray(sp.solve_spectral(d_fc, q))
     np.testing.assert_allclose(p_fc, p_mm, rtol=0,
                                atol=1e-11 * np.abs(p_mm).max())
+
+
+def test_folded_dst1_matches_matrix():
+    """ctdst folded DST-I (odd lengths N-1, middle-column handling) vs the
+    explicit orthonormal DST-I matrix, both axes, forward and adjoint."""
+    from msom_tpu.solvers import ctdst
+    from msom_tpu.solvers.spectral import dst1_matrix
+
+    for N, L in ((64, 2), (128, 3), (512, None)):
+        f, perm = ctdst.build_fold1(N, jnp.float64, L)
+        S = np.asarray(dst1_matrix(N))
+        rng = np.random.default_rng(N)
+        x = jnp.asarray(rng.standard_normal((3, 4, N - 1)))
+        y_ref = np.einsum("ki,lyi->lyk", S, np.asarray(x))[..., perm]
+        np.testing.assert_allclose(np.asarray(ctdst.fdst1_x(f, x)), y_ref,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(ctdst.ifdst1_x(f, jnp.asarray(y_ref))),
+            np.asarray(x), atol=1e-11)
+        xy = jnp.asarray(rng.standard_normal((3, N - 1, 4)))
+        y2 = np.einsum("kj,ljx->lkx", S, np.asarray(xy))[..., perm, :]
+        np.testing.assert_allclose(np.asarray(ctdst.fdst1_y(f, xy)), y2,
+                                   atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(ctdst.ifdst1_y(f, jnp.asarray(y2))),
+            np.asarray(xy), atol=1e-11)
