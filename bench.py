@@ -59,7 +59,7 @@ def build(N, nl, dtype, tol, solver="spectral", coupled=False,
         kw = dict(nptr=2, Pe=(1e3, 2e3), ptr_r=(100.0, 0.0))
     if stochastic:
         # deliverable 3: Euler-Maruyama eddy forcing (qg_stochastic.h)
-        kw = dict(stochastic=True, tr_stoch=50.0, amp_stoch=1e-6)
+        kw.update(stochastic=True, tr_stoch=50.0, amp_stoch=1e-6)
     cfg = QGConfig(N=N, nl=nl, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
                    Re4=1563 * (N / 256) ** 3, beta=0.5,
                    Fr=tuple([0.003] * (nl - 1)),

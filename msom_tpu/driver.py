@@ -89,6 +89,18 @@ def _shard_qg(cfg: QGConfig, mesh, state, const):
     return state, const
 
 
+def sharded_cfg(cfg: QGConfig) -> QGConfig:
+    """The config adjustments GSPMD sharding requires: Pallas kernels off
+    (pallas_call is opaque to the partitioner) and, for f64 spectral
+    configs, the matmul transform instead of the non-partitionable FFT
+    lowering. Apply BEFORE building constants."""
+    kw = {"use_pallas": False}
+    if (cfg.solver == "spectral" and cfg.transform in ("auto", "fft")
+            and jnp.dtype(cfg.dtype).itemsize == 8):
+        kw["transform"] = "matmul"
+    return dataclasses.replace(cfg, **kw)
+
+
 def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
            max_steps: int | None = None, log_every: int = 1,
            sharded: bool = False, mesh=None):
@@ -112,19 +124,21 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     """
     hooks = hooks or RunHooks()
     if sharded:
-        kw = {"use_pallas": False}
-        if (cfg.solver == "spectral" and cfg.transform in ("auto", "fft")
-                and jnp.dtype(cfg.dtype).itemsize == 8):
-            # the f64 auto rule resolves to the FFT lowering, which does
-            # not partition under GSPMD (XLA:CPU/TPU fft thunks need the
-            # full axis); the matmul basis shards cleanly
-            kw["transform"] = "matmul"
-        cfg = dataclasses.replace(cfg, **kw)
+        cfg = sharded_cfg(cfg)
         if const is not None and (const.rhsk is not None or any(
                 lvl.sw is not None for lvl in const.levels)):
             raise ValueError(
                 "run_qg(sharded=True) needs constants built with "
                 "use_pallas=False (or pass const=None to rebuild)")
+        if const is not None and const.spec is not None \
+                and const.spec.S is None:
+            # the FFT spectral lowering does not partition under GSPMD;
+            # constants must be rebuilt with the matmul basis (the
+            # sharded_cfg transform override, applied before building)
+            raise ValueError(
+                "run_qg(sharded=True) needs spectral constants built from "
+                "sharded_cfg(cfg) — the FFT transform does not partition "
+                "(pass const=None to rebuild)")
     if const is None:
         const = qg_model.build_constants(cfg)
     if state is None:
@@ -493,7 +507,7 @@ def main(argv=None):
     else:
         cfg = load_qg_config(params_text)
         if args.sharded:
-            cfg = dataclasses.replace(cfg, use_pallas=False)
+            cfg = sharded_cfg(cfg)
         deck = load_qg_deck(cfg, deckdir, log=log)
         const = qg_model.build_constants(cfg, **deck["const"])
         state = qg_model.init_state(cfg, const, **deck["init"])

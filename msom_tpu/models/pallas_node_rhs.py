@@ -37,7 +37,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msom_tpu.models.pallas_rhs import _mjac, _VMEM_BUDGET, _VMEM_CAP
+from msom_tpu.models.pallas_rhs import (_mjac, _stretch_prof, _vslice,
+                                        _VMEM_BUDGET, _VMEM_CAP)
 from msom_tpu.solvers.pallas_mg import default_interpret
 
 _H = 3
@@ -99,7 +100,17 @@ def build_node_kernel_data(cfg, S2, psi_pg, topo,
                                                     s_np.shape)):
             return None
         sprof = s_np[..., 0]                    # (nl-1, M)
-    nfields = (3.0 + (1.0 if np.any(np.asarray(cfg.dh)) else 0.0))
+    has_pg = bool(nl > 1 and psi_pg is not None
+                  and np.any(np.asarray(psi_pg)))
+    has_topo = bool(topo is not None and np.any(np.asarray(topo)))
+    # field-equivalent count per nl channel (mirrors
+    # pallas_rhs.build_kernel_data): psi + zeta/tmp temporaries (2) + the
+    # mask and topo single-channel streams + pp + q (barotropic) + qf3
+    nfields = (2.0 + 1.0 / nl
+               + (1.0 if has_pg else 0.0)
+               + (1.5 / nl if has_topo else 0.0)
+               + (1.0 / nl if nl == 1 else 0.0)
+               + (0.5 if q_forcing_3d is not None else 0.0))
     T = _pick_tile_node(M, nfields * max(nl, 2), dt.itemsize)
     if T is None:
         return None
@@ -108,28 +119,8 @@ def build_node_kernel_data(cfg, S2, psi_pg, topo,
     if sprof is not None:
         S2t = jnp.asarray(_tile_profile_ragged(sprof, T, _H, ntiles), dt)
     return NodeRhsData(
-        S2=S2t, T=T,
-        has_pg=bool(nl > 1 and psi_pg is not None
-                    and np.any(np.asarray(psi_pg))),
-        has_topo=bool(topo is not None and np.any(np.asarray(topo))),
+        S2=S2t, T=T, has_pg=has_pg, has_topo=has_topo,
         has_qf3=q_forcing_3d is not None)
-
-
-def _stretch_prof(a, s, idh0, idh1):
-    nl = a.shape[0]
-    if nl == 1:
-        return jnp.zeros_like(a)
-    dif = s * (a[:-1] - a[1:])
-    rows = []
-    for l in range(nl):
-        g = None
-        if l > 0 and idh0[l] != 0.0:
-            g = idh0[l] * dif[l - 1]
-        if l < nl - 1 and idh1[l] != 0.0:
-            t = -idh1[l] * dif[l]
-            g = t if g is None else g + t
-        rows.append(jnp.zeros_like(a[0]) if g is None else g)
-    return jnp.stack(rows, axis=0)
 
 
 def _node_kernel(*refs, T, Mglob, delta, beta, nu, nu4, fric, topo_fac,
@@ -243,13 +234,12 @@ def _node_kernel(*refs, T, Mglob, delta, beta, nu, nu4, fric, topo_fac,
     if has_pg:
         dq = dq - J(ppv, zv)
 
-    def vsl(v, idx):
-        return {k: a[idx] for k, a in v.items()}
-
-    Jd = J(vsl(pv, slice(None, -1)), vsl(pv, slice(1, None)))
+    Jd = J(_vslice(pv, slice(None, -1)), _vslice(pv, slice(1, None)))
     if has_pg:
-        Jd = Jd + J(vsl(ppv, slice(None, -1)), vsl(pv, slice(1, None))) \
-            + J(vsl(pv, slice(None, -1)), vsl(ppv, slice(1, None)))
+        Jd = Jd + J(_vslice(ppv, slice(None, -1)),
+                    _vslice(pv, slice(1, None))) \
+            + J(_vslice(pv, slice(None, -1)),
+                _vslice(ppv, slice(1, None)))
     sj = s * Jd
     rows = []
     for l in range(nl):
@@ -266,7 +256,7 @@ def _node_kernel(*refs, T, Mglob, delta, beta, nu, nu4, fric, topo_fac,
     bot = -fric * zeta[nl - 1:nl]
     if has_topo:
         tv = views(slab(topo_c, topo_u, topo_d))        # (1, R, nx)
-        bot = bot - J(vsl(pv, slice(nl - 1, nl)), tv) * topo_fac
+        bot = bot - J(_vslice(pv, slice(nl - 1, nl)), tv) * topo_fac
     dq = jnp.concatenate([dq[:nl - 1], dq[nl - 1:] + bot], axis=0)
 
     # dissipation: nu*(stretch(zeta) + tmp), -nu4*(stretch(tmp) + lap(tmp))

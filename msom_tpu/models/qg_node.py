@@ -207,6 +207,14 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
                                          q_forcing_3d=q_forcing_3d)
     dt = _dtype(cfg)
     N, nl = cfg.N, cfg.nl
+    if nl > 1 and cfg.iRd2_low != 0.0:
+        # same de-pairing hazard the periodic branch rejects: iRd2_low is a
+        # barotropic-module concept (qg_barotropic.h:36,117) — comp_q only
+        # subtracts it for nl == 1, and the spectral/vmg inversions would
+        # otherwise silently disagree about whether to include it
+        raise ValueError(
+            "iRd2_low (gp_low) is only defined for the barotropic nl == 1 "
+            "module (qg_barotropic.h); got nl > 1 with gp_low set")
     delta = cfg.delta
     xv = np.arange(N + 1) * delta
     Xv, Yv = np.meshgrid(xv, xv, indexing="xy")

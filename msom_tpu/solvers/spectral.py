@@ -192,6 +192,10 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
     if use_fac and periodic:
         raise ValueError("transform='factored' covers the Dirichlet (DST) "
                          "basis only; periodic keeps the rfft/matmul paths")
+    if transform == "factored" and refine is True:
+        raise ValueError("transform='factored' and refine are mutually "
+                         "exclusive (refinement needs the naturally-ordered "
+                         "single-matrix basis)")
     use_mm = force_matmul or transform == "matmul" or (
         transform == "auto" and jnp.dtype(dtype).itemsize == 4
         and N <= 4096 and not periodic)
