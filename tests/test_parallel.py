@@ -147,6 +147,8 @@ def test_run_qg_sharded_matches_single(tmp_path):
     (ediag) and the OutputWriter .bas gather."""
     import dataclasses as dc
 
+    import pytest
+
     from msom_tpu import driver
     from msom_tpu.io.bas import read_bas
 
@@ -200,3 +202,24 @@ def test_run_pg_sharded_matches_single():
                                rtol=0, atol=1e-12 * scale)
     np.testing.assert_allclose(np.asarray(s8.b_me), np.asarray(s1.b_me),
                                rtol=0, atol=1e-12 * max(scale, 1e-30))
+
+
+def test_run_qg_sharded_guards_stale_constants():
+    """run_qg(sharded=True) must reject constants carrying Pallas kernel
+    data or the non-partitionable FFT spectral basis, and sharded_cfg must
+    swap f64 auto/fft transforms for the matmul basis."""
+    import dataclasses as dc
+
+    import pytest
+
+    from msom_tpu import driver
+
+    cfg = small_cfg()
+    cfg_sp = dc.replace(cfg, solver="spectral")   # f64 auto -> FFT path
+    assert driver.sharded_cfg(cfg_sp).transform == "matmul"
+    assert driver.sharded_cfg(cfg_sp).use_pallas is False
+
+    const_fft = m.build_constants(cfg_sp)
+    assert const_fft.spec.S is None               # FFT basis
+    with pytest.raises(ValueError):
+        driver.run_qg(cfg_sp, const=const_fft, max_steps=1, sharded=True)
