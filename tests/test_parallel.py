@@ -223,3 +223,44 @@ def test_run_qg_sharded_guards_stale_constants():
     assert const_fft.spec.S is None               # FFT basis
     with pytest.raises(ValueError):
         driver.run_qg(cfg_sp, const=const_fft, max_steps=1, sharded=True)
+
+
+def test_gspmd_coupled_step_matches_single():
+    """GSPMD shard-vs-single for the COUPLED multiple-scale configuration
+    (psipg + topography + tracers, spectral matmul inversion) — the
+    flagship production config on the production multi-chip path."""
+    import dataclasses as dc
+
+    rng = np.random.default_rng(12)
+    cfg = small_cfg()
+    cfg = dc.replace(cfg, solver="spectral", transform="matmul",
+                     use_pallas=False, nptr=2, Pe=(1e3, 2e3),
+                     ptr_r=(100.0, 0.0))
+    N = cfg.N
+    y = (np.arange(N) + 0.5) * cfg.delta
+    pp = 1e-3 * np.sin(np.pi * y / cfg.L0)[None, :, None] \
+        * np.ones((cfg.nl, N, N))
+    topo = 0.05 * np.outer(np.sin(np.pi * y / cfg.L0),
+                           np.sin(2 * np.pi * y / cfg.L0))
+    const = m.build_constants(cfg, psipg=pp, topo=topo,
+                              qforc=1e-4 * rng.standard_normal(
+                                  (cfg.nl, N, N)))
+    state = m.init_state(cfg, const, seed=0)
+    step = jax.jit(m.make_step(cfg))
+
+    s_ref = state
+    for _ in range(3):
+        s_ref, _ = step(s_ref, const, jnp.asarray(0.5))
+
+    mesh = parallel.make_mesh(8)
+    s_sh = parallel.shard_model(mesh, state, cfg.N)
+    c_sh = parallel.shard_model(mesh, const, cfg.N)
+    with mesh:
+        for _ in range(3):
+            s_sh, _ = step(s_sh, c_sh, jnp.asarray(0.5))
+    np.testing.assert_allclose(np.asarray(s_sh.q), np.asarray(s_ref.q),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(s_sh.tracers),
+                               np.asarray(s_ref.tracers),
+                               rtol=1e-12, atol=1e-13)
+    assert float(s_sh.t) == float(s_ref.t)
