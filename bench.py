@@ -176,12 +176,14 @@ def measure_node(N, nl, dtype, steps, spinup):
     nf = 5
     s2, _ = fj(state, const, nf)
     _ = float(s2.psi_f[0, 0, 0])
-    t0 = time.time()
-    s2, _ = fj(dataclasses.replace(
-        state, psi=state.psi * (1 + 1e-9)), const, nf)
-    _ = float(s2.psi_f[0, 0, 0])
-    wall_flt = (time.time() - t0) / nf
-    return wall, wall_flt
+    walls = []
+    for rep in range(2):   # best-of-2: tunnel hiccups inflate single timings
+        t0 = time.time()
+        s2, _ = fj(dataclasses.replace(
+            state, psi=state.psi * (1 + 1e-9 * (rep + 1))), const, nf)
+        _ = float(s2.psi_f[0, 0, 0])
+        walls.append((time.time() - t0) / nf)
+    return wall, min(walls)
 
 
 def measure_mspg(N, nl, dtype, steps, spinup):
