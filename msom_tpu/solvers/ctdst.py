@@ -184,9 +184,14 @@ jax.tree_util.register_dataclass(
 def build_fold1(N: int, dtype, L: int | None = None):
     """(FoldedDST1, perm) for the (N-1)-point DST-I."""
     from msom_tpu.solvers.spectral import dst1_matrix
+    if N < 32 or N & (N - 1):
+        # power-of-2 N only (mirrors build_fold): an even non-power-of-2 N
+        # would walk the odd chain into even sub-lengths — the untested
+        # even-m fold branch the middle-column assert does not protect
+        return None, None
     if L is None:
         L = default_levels(N)
-    if L == 0 or N < 32:
+    if L == 0:
         return None, None
     M = dst1_matrix(N)
     Mes = []

@@ -185,10 +185,17 @@ def build_spectral(*, nl: int, N: int, L0: float, dh=None, s_profile=None,
     # Dirichlet power-of-2 cases; force_matmul (the sharded path) and
     # refine need the single-matrix basis with NATURALLY-ordered inv_den,
     # so they keep the direct form.
+    if transform == "factored" and force_matmul:
+        raise ValueError("transform='factored' is incompatible with "
+                         "force_matmul (the sharded path needs the "
+                         "naturally-ordered single-matrix basis)")
+    # auto-fold upper bound mirrors use_mm's N <= 4096: the folded matmul is
+    # benchmarked at 1024-2048 (PERF.md r4); beyond 4096 the O(N^2 log N)
+    # FFT lowering should win and the cubic-flop path is unmeasured.
     use_fac = (not force_matmul) and (
         transform == "factored"
         or (transform == "auto" and jnp.dtype(dtype).itemsize == 4
-            and not periodic and N >= 512 and N & (N - 1) == 0))
+            and not periodic and 512 <= N <= 4096 and N & (N - 1) == 0))
     if use_fac and periodic:
         raise ValueError("transform='factored' covers the Dirichlet (DST) "
                          "basis only; periodic keeps the rfft/matmul paths")
