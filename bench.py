@@ -124,6 +124,45 @@ def measure(N, nl, dtype, tol, solver, steps, pallas_env=None, spinup=200,
                 os.environ["MSOM_PALLAS"] = saved_pallas
 
 
+def measure_rows(N, nl, dtype, tol, steps, spinup, coupled=False):
+    """Wall s/step of the KERNEL-KEEPING sharded step (parallel/step.py
+    rows fast path: fused Pallas kernels + pencil folded-DST) on a rows
+    mesh over all local devices — 1x1 on the single bench chip, where
+    every collective is the identity; the number quantifies the
+    distribution-mode overhead relative to the unsharded step (VERDICT r5
+    ask #1: must stay within ~1.3x)."""
+    import numpy as np
+
+    from msom_tpu.parallel.step import make_qg_step_sharded
+    from jax.sharding import Mesh
+
+    cfg, const, state, _ = build(N, nl, dtype, tol, "spectral",
+                                 coupled=coupled)
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(ndev, 1), ("y", "x"))
+    step, place = make_qg_step_sharded(cfg, mesh, state, const)
+    assert step.uses_kernels and step.uses_pencil, \
+        "rows fast path did not engage"
+    sp, cp = place(state), place(const)
+    raw, sd = step.raw, step.sd
+
+    def rchunk(s, c, sdl, n):
+        def body(s, _):
+            s, d = raw(s, c, sdl, jnp.asarray(1e18, s.t.dtype))
+            return s, d.dt
+        return jax.lax.scan(body, s, None, length=n)
+
+    rj = jax.jit(rchunk, static_argnums=3)
+    sp, _ = rj(sp, cp, sd, steps)
+    for _ in range(max(spinup - steps, 0) // steps):
+        sp, _ = rj(sp, cp, sd, steps)
+    _ = float(sp.q[0, 0, 0])
+    t0 = time.time()
+    sp, _ = rj(sp, cp, sd, steps)
+    _ = float(sp.q[0, 0, 0])
+    return (time.time() - t0) / steps
+
+
 def measure_node(N, nl, dtype, steps, spinup):
     """(wall s/step, wall s/wavelet-filter) for the qg-node baroclinic
     family (BASELINE.json deliverable 5: nodal multi-layer at 2048^2 with
@@ -252,13 +291,21 @@ def main():
         walls["coupled"], vcycles["coupled"] = measure(
             args.N, args.nl, args.dtype, args.tol, "spectral", args.steps,
             spinup=spinup, coupled=True)
+    if args.solver in ("spectral", "both"):
+        # the kernel-keeping SHARDED step on a rows mesh (1x1 here):
+        # the distributed-mode cost of the same fast path
+        walls["sharded_rows"] = measure_rows(
+            args.N, args.nl, args.dtype, args.tol, args.steps,
+            spinup=spinup)
+        vcycles["sharded_rows"] = 0.0
     if args.all:
         walls["mg_xla"], vcycles["mg_xla"] = measure(
             args.N, args.nl, args.dtype, args.tol, "mg", args.steps,
             pallas_env="0", spinup=spinup)
 
-    best_solver = min((k for k in walls if k != "coupled"),
-                      key=walls.get)
+    best_solver = min(
+        (k for k in walls if k not in ("coupled", "sharded_rows")),
+        key=walls.get)
     pts = args.N * args.N * args.nl
     value = pts / walls[best_solver]
     out = {

@@ -101,6 +101,32 @@ def sharded_cfg(cfg: QGConfig) -> QGConfig:
     return dataclasses.replace(cfg, **kw)
 
 
+def _strip_kernels(const):
+    """GSPMD-safe view of constants built with use_pallas: drop the fused
+    RHS kernel data and the multigrid Pallas sweep/residual profiles so
+    every jitted function keeps the partitionable XLA lowering (pallas_call
+    is opaque to the partitioner). The spectral basis (matmul or folded —
+    both partitionable) is kept."""
+    def strip_levels(levels):
+        if levels is None:
+            return None
+        return [dataclasses.replace(lvl, sw=None, rp=None)
+                for lvl in levels]
+    return dataclasses.replace(
+        const, rhsk=None, levels=strip_levels(const.levels),
+        mlevels=strip_levels(const.mlevels))
+
+
+def rows_mesh(mesh=None):
+    """1-D rows mesh (ndev, 1) over all local devices — the layout of the
+    kernel-keeping sharded step (parallel/step.py rows fast path)."""
+    from jax.sharding import Mesh
+    if mesh is not None:
+        return mesh
+    devs = jax.devices()
+    return Mesh(np.array(devs).reshape(len(devs), 1), ("y", "x"))
+
+
 def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
            max_steps: int | None = None, log_every: int = 1,
            sharded: bool = False, mesh=None):
@@ -113,41 +139,107 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
     qg_energy.h:286-288) with the filter-event de_ft term and per-window
     reset at outputs.
 
-    `sharded`: run under GSPMD domain decomposition over `mesh` (default:
-    all local devices, as square as possible) — the multi-chip entry the
-    reference gets from `mpirun -np 16 ./qg.e` (msqg/qg.c:13-14). All
-    events (wavelet filter, energy accumulation, OutputWriter gather) run
-    on the mesh; the Pallas fast paths are disabled (use_pallas=False —
-    pallas_call is opaque to the partitioner), so the step keeps the
-    partitionable XLA lowering. Output equality vs the unsharded run is
-    pinned by tests/test_parallel.py::test_run_qg_sharded_matches_single.
+    `sharded`: the multi-chip entry the reference gets from
+    `mpirun -np 16 ./qg.e` (msqg/qg.c:13-14). Accepts True/"auto", "rows"
+    or "gspmd":
+
+    * "rows" (and the "auto" first choice): the KERNEL-KEEPING explicit
+      shard_map step on a 1-D rows mesh (parallel/step.py rows fast path)
+      — fused Pallas RHS/tracer kernels on every shard + pencil
+      folded-DST inversion; the distributed mode whose per-chip code path
+      equals the single-chip fast path.
+    * "gspmd" (and the "auto" fallback for configs the kernels don't
+      cover): GSPMD placement over `mesh` (default: all local devices, as
+      square as possible) with the partitionable XLA lowerings — the
+      Pallas fast paths are stripped (pallas_call is opaque to the
+      partitioner) while the matmul/folded spectral basis is kept.
+
+    All events (wavelet filter, energy accumulation, OutputWriter gather)
+    run on the mesh in both modes. The mode actually taken is recorded in
+    `run_qg.sharded_mode`. Output equality vs the unsharded run is pinned
+    by tests/test_parallel.py::test_run_qg_sharded_matches_single and
+    tests/test_rows_step.py.
     """
     hooks = hooks or RunHooks()
+    mode = None
     if sharded:
+        mode = sharded if isinstance(sharded, str) else "auto"
+        if mode not in ("auto", "rows", "gspmd"):
+            raise ValueError(f"sharded={mode!r}: use 'auto', 'rows' or "
+                             "'gspmd'")
+    user_const = const
+    if mode == "gspmd":
         cfg = sharded_cfg(cfg)
         if const is not None and (const.rhsk is not None or any(
                 lvl.sw is not None for lvl in const.levels)):
             raise ValueError(
-                "run_qg(sharded=True) needs constants built with "
+                "run_qg(sharded='gspmd') needs constants built with "
                 "use_pallas=False (or pass const=None to rebuild)")
         if const is not None and const.spec is not None \
-                and const.spec.S is None:
+                and const.spec.S is None and const.spec.fac is None:
             # the FFT spectral lowering does not partition under GSPMD;
             # constants must be rebuilt with the matmul basis (the
             # sharded_cfg transform override, applied before building)
             raise ValueError(
-                "run_qg(sharded=True) needs spectral constants built from "
-                "sharded_cfg(cfg) — the FFT transform does not partition "
-                "(pass const=None to rebuild)")
+                "run_qg(sharded='gspmd') needs spectral constants built "
+                "from sharded_cfg(cfg) — the FFT transform does not "
+                "partition (pass const=None to rebuild)")
     if const is None:
         const = qg_model.build_constants(cfg)
     if state is None:
         state = qg_model.init_state(cfg, const)
-    if sharded:
+
+    rows_step = None
+    if mode in ("auto", "rows"):
+        from msom_tpu.parallel.step import make_qg_step_sharded
+        mesh_r = rows_mesh(mesh)
+        my_r, mx_r = mesh_r.devices.shape
+        ok = (mx_r == 1 and cfg.N % my_r == 0
+              and (cfg.N // my_r) % 8 == 0
+              and not (cfg.mode_pv_invert and const.iBu is not None))
+        if ok:
+            step_r, place_r = make_qg_step_sharded(cfg, mesh_r, state,
+                                                   const)
+            ok = step_r.uses_kernels and (cfg.solver != "spectral"
+                                          or step_r.uses_pencil)
+        if ok:
+            rows_step = step_r
+            state, const = place_r(state), place_r(const)
+            if cfg.solver == "spectral" and step_r.sd is not None:
+                # events (wavelet filter, energy, OutputWriter inversions)
+                # run under GSPMD on the mesh-placed state: give them the
+                # pencil step's partitionable basis (matmul/folded) in
+                # place of a possibly non-partitionable FFT basis
+                const = dataclasses.replace(const, spec=step_r.sd)
+        elif mode == "rows":
+            raise ValueError(
+                "sharded='rows': the kernel-keeping rows path does not "
+                "cover this configuration (needs a 1-D rows mesh with "
+                "N % ndev == 0, (N/ndev) % 8 == 0, use_pallas, and a "
+                "kernel-covered config — see models.pallas_rhs)")
+        else:
+            mode = "gspmd"
+            cfg = sharded_cfg(cfg)
+            if user_const is None:
+                # constants were built here from cfg alone — rebuild them
+                # GSPMD-clean (no kernel data, partitionable transform)
+                const = qg_model.build_constants(cfg)
+            else:
+                const = _strip_kernels(const)
+                if cfg.solver == "spectral" and const.spec is not None \
+                        and const.spec.S is None and const.spec.fac is None:
+                    raise ValueError(
+                        "sharded='auto' GSPMD fallback needs a "
+                        "partitionable spectral basis; rebuild constants "
+                        "with transform='matmul'")
+
+    if mode == "gspmd" and rows_step is None:
         mesh = default_mesh(mesh)
         state, const = _shard_qg(cfg, mesh, state, const)
 
-    step = jax.jit(qg_model.make_step(cfg))
+    run_qg.sharded_mode = "rows" if rows_step is not None else mode
+    step = rows_step if rows_step is not None \
+        else jax.jit(qg_model.make_step(cfg))
 
     energy = None
     energy_tend_j = None
@@ -355,9 +447,13 @@ class OutputWriter:
         pf = tr = None
         if state.qof is not None and cfg.dtflt > 0:
             from msom_tpu.models import qg as qgm
+            # gather FIRST: the writer's own constants may carry a
+            # non-partitionable (FFT) basis, so the inversion runs on the
+            # replicated gathered field, not the mesh-sharded one
+            qof_g = jnp.asarray(dist.fetch_global(state.qof))
             pf_dev, _ = qgm.invert_q(cfg, self.const,
-                                     jnp.zeros_like(state.qof), state.qof)
-            pf = dist.fetch_global(pf_dev)
+                                     jnp.zeros_like(qof_g), qof_g)
+            pf = np.asarray(pf_dev)
         if state.tracers is not None:
             tr = dist.fetch_global(state.tracers)
         if not self._master:
@@ -477,8 +573,14 @@ def main(argv=None):
     p.add_argument("--no-output", action="store_true",
                    help="skip file output (stdout KE log only)")
     p.add_argument("--sharded", action="store_true",
-                   help="GSPMD domain decomposition over all local devices "
+                   help="domain decomposition over all local devices "
                         "(the reference's mpirun entry, msqg/qg.c:13-14)")
+    p.add_argument("--sharded-mode", choices=["auto", "rows", "gspmd"],
+                   default="auto",
+                   help="sharded execution mode: 'rows' = kernel-keeping "
+                        "explicit shard_map rows decomposition, 'gspmd' = "
+                        "partitioner placement, 'auto' = rows when the "
+                        "config is kernel-covered else gspmd")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -506,7 +608,7 @@ def main(argv=None):
                        max_steps=args.steps, sharded=args.sharded)
     else:
         cfg = load_qg_config(params_text)
-        if args.sharded:
+        if args.sharded and args.sharded_mode == "gspmd":
             cfg = sharded_cfg(cfg)
         deck = load_qg_deck(cfg, deckdir, log=log)
         const = qg_model.build_constants(cfg, **deck["const"])
@@ -516,7 +618,8 @@ def main(argv=None):
             hooks.on_output = OutputWriter(cfg, const, outdir=args.outdir,
                                            params_text=params_text)
         state = run_qg(cfg, const=const, state=state, hooks=hooks,
-                       max_steps=args.steps, sharded=args.sharded)
+                       max_steps=args.steps,
+                       sharded=args.sharded_mode if args.sharded else False)
     wall = time.time() - t0
     n_steps = int(state.i)
     if dist.is_master():

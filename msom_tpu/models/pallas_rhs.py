@@ -59,24 +59,40 @@ _VMEM_CAP = 64 * 1024 * 1024
 
 @dataclasses.dataclass(frozen=True)
 class RhsKernelData:
-    """Static per-config data for the fused RHS kernels."""
+    """Static per-config data for the fused RHS kernels.
+
+    rows == 0 is the single-device layout. rows > 0 is the ROWS-SHARDED
+    layout (the kernel-keeping distributed step, parallel/step.py): the
+    model's y axis splits into `rows` equal shards, T divides the local row
+    count, and the constant fields additionally carry halo-extended forms
+    (`pp_ext`/`topo_ext`: per-shard (n_loc + 16)-row windows concatenated so
+    sharding over axis -2 hands every device exactly its window). The
+    kernels are IDENTICAL in both modes — wall rules key on the global row
+    index (grow + row0), so a shard at a domain wall applies the physical
+    ghost law and an interior shard consumes real neighbor rows from the
+    halo slabs."""
     strl: jnp.ndarray | None   # (ntiles, nl-1, T+6, 1) tiled y-profile
     wind: jnp.ndarray          # (ntiles, 1, T+6, 1)
     iro: jnp.ndarray | None    # (ntiles, 1, T+6, 1): 1/(Ro(y)*dh_bot) (topo)
     pp: jnp.ndarray | None     # (nl, N, N) large-scale psi interior
     topo: jnp.ndarray | None   # (1, N, N)
     umax_pp: jnp.ndarray | None  # (nl,) precomputed pp CFL face maxima
+    pp_ext: jnp.ndarray | None   # rows mode: (nl, rows*(n_loc+16), N)
+    topo_ext: jnp.ndarray | None
     T: int
     Ttr: int                   # tracer-kernel tile (0: tracer kernel off)
+    rows: int = 0              # row-shard count (0: unsharded layout)
 
 
 jax.tree_util.register_dataclass(
     RhsKernelData,
-    data_fields=["strl", "wind", "iro", "pp", "topo", "umax_pp"],
-    meta_fields=["T", "Ttr"])
+    data_fields=["strl", "wind", "iro", "pp", "topo", "umax_pp", "pp_ext",
+                 "topo_ext"],
+    meta_fields=["T", "Ttr", "rows"])
 
 
-def _pick_tile(n: int, nfields: float, itemsize: int) -> int | None:
+def _pick_tile(n: int, nfields: float, itemsize: int,
+               divisor: int | None = None) -> int | None:
     """y-tile size: multiple of 8. Two constraints, both measured on v5e at
     2048^2 (tools/coupled_kernel_bench.py sweep, PERF.md r4):
 
@@ -93,6 +109,8 @@ def _pick_tile(n: int, nfields: float, itemsize: int) -> int | None:
     if n < 64 or n % 8:
         return None
     for t in (128, 64, 32, 16, 8):
+        if divisor is not None and (t > divisor or divisor % t):
+            continue   # rows mode: T must tile the LOCAL shard rows
         if n % t == 0 and t <= n // 2 \
                 and 44.0 * (t + 6) * n * itemsize <= _VMEM_BUDGET \
                 and 5.5 * nfields * (t + 6) * n * itemsize <= _VMEM_CAP:
@@ -100,18 +118,39 @@ def _pick_tile(n: int, nfields: float, itemsize: int) -> int | None:
     return None
 
 
+def _ext_windows(a: np.ndarray, rows: int) -> np.ndarray:
+    """Concatenated per-shard halo-extended windows of a global (..., N, nx)
+    constant: shard d's block is rows [d*n_loc - 8, d*n_loc + n_loc + 8) of
+    the edge-clamped array — sharding the result over axis -2 in `rows`
+    equal parts hands each device its own window. Clamped rows at the
+    physical walls are never consumed (the kernel's _yfix wall rule
+    overrides the single ghost row that is)."""
+    N = a.shape[-2]
+    n_loc = N // rows
+    pad = np.concatenate([a[..., :1, :]] * 8 + [a]
+                         + [a[..., -1:, :]] * 8, axis=-2)
+    blocks = [pad[..., d * n_loc:d * n_loc + n_loc + 16, :]
+              for d in range(rows)]
+    return np.concatenate(blocks, axis=-2)
+
+
 def build_kernel_data(cfg, const_wind: np.ndarray,
                       strl_prof: np.ndarray | None, *,
                       Ro: np.ndarray | None = None,
                       pp_pad=None, topo_pad=None,
                       need_q: bool = False,
-                      has_qforc: bool = False) -> RhsKernelData | None:
+                      has_qforc: bool = False,
+                      rows: int = 0) -> RhsKernelData | None:
     """Build the kernel-side constants, or None when the config cannot use
     the fused path (periodic, x-varying profiles, no feasible tile).
 
     strl_prof: (nl-1, N) y-profile (None for nl == 1); const_wind: (N, N)
     x-constant; Ro: (N, N) x-constant (only consumed with topography);
-    pp_pad/topo_pad: the padded constant fields from QGConstants."""
+    pp_pad/topo_pad: the padded constant fields from QGConstants.
+
+    rows > 0: build the ROWS-SHARDED layout (see RhsKernelData) for a
+    `rows`-way y decomposition — T divides N//rows and the pp/topo
+    constants gain halo-extended per-shard windows."""
     periodic = cfg.sbc < 0
     if periodic and pp_pad is not None:
         # the periodic pp ghost law is custom (msqg/qg.h:1105-1114) — not
@@ -133,18 +172,24 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
         irop = 1.0 / (Rop[:, 0] * float(cfg.dh[nl - 1]))
 
     flsrv = bool(cfg.flsrv == 1 and has_pg)
+    divisor = None
+    if rows:
+        if N % rows or (N // rows) % 8:
+            return None
+        divisor = N // rows
     nfields = (2.0 + (1.0 if need_q else 0.0)
                + (0.0 if not has_pg else (2.0 if flsrv else 1.0))
                + (1.5 / nl if has_topo else 0.0)
                + (0.5 if has_qforc else 0.0))
-    T = _pick_tile(N, nfields * max(nl, 2), itemsize)
+    T = _pick_tile(N, nfields * max(nl, 2), itemsize, divisor)
     if T is None:
         return None
     Ttr = 0
     if cfg.nptr > 0:
         ntr = nl * cfg.nptr
         # psi views + tracer views + relax (center-only)
-        Ttr = _pick_tile(N, 1.0 * max(nl, 2) + 2.0 * ntr, itemsize) or 0
+        Ttr = _pick_tile(N, 1.0 * max(nl, 2) + 2.0 * ntr, itemsize,
+                         divisor) or 0
     wind = jnp.asarray(_tile_profile(windp[None, :, 0], T, _H), dt)
     strl = None
     if strl_prof is not None:
@@ -152,7 +197,7 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
     iro_t = None
     if has_topo:
         iro_t = jnp.asarray(_tile_profile(irop[None, :], T, _H), dt)
-    pp = umax_pp = None
+    pp = umax_pp = pp_ext = None
     if has_pg:
         from msom_tpu.ops.ghost import ghosted_from_padded, \
             max_face_speed_layers
@@ -162,11 +207,17 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
         # the exact function the XLA path uses
         umax_pp = max_face_speed_layers(ghosted_from_padded(
             jnp.asarray(pp_pad)), float(cfg.delta))
-    topo = None
+        if rows:
+            pp_ext = jnp.asarray(_ext_windows(np.asarray(pp), rows), dt)
+    topo = topo_ext = None
     if has_topo:
-        topo = jnp.asarray(topo_pad)[None, 1:-1, 1:-1]
+        topo_np = np.asarray(topo_pad)[None, 1:-1, 1:-1]
+        topo = jnp.asarray(topo_np, dt)
+        if rows:
+            topo_ext = jnp.asarray(_ext_windows(topo_np, rows), dt)
     return RhsKernelData(strl=strl, wind=wind, iro=iro_t, pp=pp, topo=topo,
-                         umax_pp=umax_pp, T=T, Ttr=Ttr)
+                         umax_pp=umax_pp, pp_ext=pp_ext, topo_ext=topo_ext,
+                         T=T, Ttr=Ttr, rows=rows)
 
 
 def applicable(cfg, const) -> bool:
@@ -176,6 +227,24 @@ def applicable(cfg, const) -> bool:
     (rhsk presence encodes all of that, decided at build time)."""
     return (getattr(cfg, "use_pallas", True)
             and getattr(const, "rhsk", None) is not None)
+
+
+def rows_specs(kd: RhsKernelData, ym: str = "y"):
+    """shard_map PartitionSpecs for a rows-mode RhsKernelData: profile
+    tiles and the pp/topo (+ ext) fields split over the y mesh axis, the
+    precomputed pp CFL maxima replicated."""
+    from jax.sharding import PartitionSpec as P
+    row3 = P(None, ym, None)
+    return RhsKernelData(
+        strl=None if kd.strl is None else P(ym),
+        wind=P(ym),
+        iro=None if kd.iro is None else P(ym),
+        pp=None if kd.pp is None else row3,
+        topo=None if kd.topo is None else row3,
+        umax_pp=None if kd.umax_pp is None else P(),
+        pp_ext=None if kd.pp_ext is None else row3,
+        topo_ext=None if kd.topo_ext is None else row3,
+        T=kd.T, Ttr=kd.Ttr, rows=kd.rows)
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +395,7 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
     strl_r, wind_r = next(it), next(it)
     if has_topo:
         iro_r = next(it)
+    row0_ref = next(it)   # (1,) SMEM: global row index of local row 0
     out_ref, umax_ref = next(it), next(it)
 
     i = pl.program_id(0)
@@ -343,7 +413,8 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
             [u[:, 8 - _H:8, :], c[:], d[:, 0:_H, :]], axis=1)
 
     psi = slab(psi_c, psi_u, psi_d)
-    grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+            + row0_ref[0])
 
     s = strl_r[0, :, :, :] if has_strl else None   # (nl-1, R, 1)
     wind = wind_r[0, 0, :, :]                       # (R, 1)
@@ -497,12 +568,20 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
 
 
 def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
-              interpret: bool | None = None):
+              interpret: bool | None = None, *, psi_ext=None, q_ext=None,
+              row0=None):
     """(dq, umax_layers) for any walled configuration (see module
     docstring); umax_layers is the (nl,) per-layer max |face velocity| of
     psi for the CFL controller, computed in the same VMEM pass (combine
     with const.rhsk.umax_pp for the pp part). `q` is required for the
-    stochastic (damping) and energy_conserv (advected-PV) variants."""
+    stochastic (damping) and energy_conserv (advected-PV) variants.
+
+    Rows-sharded mode (const.rhsk.rows > 0, called inside shard_map with
+    local views): `psi` is the local (nl, n_loc, nx) shard, `psi_ext` the
+    halo-extended concat([up8, psi, dn8]) from parallel.halo.ext_rows8
+    (likewise q/q_ext when needed), `row0` the global row index of local
+    row 0 (yi * n_loc). umax_layers is then this shard's maxima — pmax
+    across the mesh before the CFL recurrence."""
     if interpret is None:
         interpret = default_interpret()
     kd: RhsKernelData = const.rhsk
@@ -514,10 +593,23 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
     has_pg = kd.pp is not None
     has_topo = kd.topo is not None
     has_qforc = const.qforc is not None
+    rows = kd.rows > 0
+    if rows:
+        assert psi_ext is not None and row0 is not None, \
+            "rows-sharded rhs_fused needs psi_ext + row0"
 
     def specs3(c, wrap=periodic):
         center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
-        if wrap:
+        if rows:
+            # halo slabs come from the (n_loc + 16)-row EXT array: local
+            # row r sits at ext row r + 8, so the up slab (local rows
+            # [iT-8, iT)) is ext 8-row block i*tb and the down slab
+            # (local rows [(i+1)T, (i+1)T+8)) is ext block (i+1)*tb + 1.
+            # Wall-shard halo content is unused (grow-keyed ghost rules).
+            up = pl.BlockSpec((c, 8, nx), lambda i: (0, i * tb, 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, (i + 1) * tb + 1, 0))
+        elif wrap:
             # periodic: the halo slabs wrap around the global y boundary
             up = pl.BlockSpec((c, 8, nx),
                               lambda i: (0, (i * tb - 1) % nb, 0))
@@ -535,15 +627,19 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
         return pl.BlockSpec((1, carr.shape[1], T + 2 * _H, 1),
                             lambda i: (i, 0, 0, 0))
 
-    args, in_specs = [psi, psi, psi], specs3(nl)
+    def tri(center, ext):
+        """(center, up-source, down-source) argument triple."""
+        return [center, ext, ext] if rows else [center, center, center]
+
+    args, in_specs = tri(psi, psi_ext), specs3(nl)
     if need_q:
-        args += [q, q, q]
+        args += tri(q, q_ext)
         in_specs += specs3(nl)
     if has_pg:
-        args += [kd.pp, kd.pp, kd.pp]
+        args += tri(kd.pp, kd.pp_ext)
         in_specs += specs3(nl)
     if has_topo:
-        args += [kd.topo, kd.topo, kd.topo]
+        args += tri(kd.topo, kd.topo_ext)
         in_specs += specs3(1, wrap=False)   # topo pad is Neumann always
     if has_qforc:
         args += [const.qforc]
@@ -556,10 +652,14 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
     if has_topo:
         args += [kd.iro]
         in_specs += [prof_spec(kd.iro)]
+    row0_arr = (jnp.zeros((1,), jnp.int32) if row0 is None
+                else jnp.asarray(row0, jnp.int32).reshape(1))
+    args += [row0_arr]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     dh = cfg.dh
     kern = functools.partial(
-        _rhs_kernel, T=T, nglob=n, delta=float(cfg.delta),
+        _rhs_kernel, T=T, nglob=cfg.N, delta=float(cfg.delta),
         beta=float(cfg.beta), iRe=float(cfg.iRe), iRe4=float(cfg.iRe4),
         ek_top=float(cfg.Eks / (cfg.Rom * 2 * dh[0])),
         ek_bot=float(cfg.Ekb / (cfg.Rom * 2 * dh[nl - 1])),
@@ -598,9 +698,9 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
 def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
                    nl, nptr, delta, iPe, ptr_ir, has_relax, periodic):
     if has_relax:
-        relax_c, out_ref = rest
+        relax_c, row0_ref, out_ref = rest
     else:
-        (out_ref,) = rest
+        row0_ref, out_ref = rest
     i = pl.program_id(0)
     nx = psi_c.shape[-1]
     id2 = 1.0 / (delta * delta)
@@ -611,7 +711,8 @@ def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
         return jnp.concatenate(
             [u[:, 8 - _H:8, :], c[:], d[:, 0:_H, :]], axis=1)
 
-    grow = jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+    grow = (jax.lax.broadcasted_iota(jnp.int32, (R, nx), 0) + i * T - _H
+            + row0_ref[0])
     tr = slab(tr_c, tr_u, tr_d)                       # (nl*nptr, R, nx)
     if periodic:
         pv = _views_wrap(slab(psi_c, psi_u, psi_d))
@@ -637,10 +738,13 @@ def _tracer_kernel(psi_c, psi_u, psi_d, tr_c, tr_u, tr_d, *rest, T, nglob,
 
 
 def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
-                 interpret: bool | None = None) -> jnp.ndarray:
+                 interpret: bool | None = None, *, psi_ext=None,
+                 tr_ext=None, row0=None) -> jnp.ndarray:
     """dtracers (nl, nptr, N, N) — the fused ptr_rhs: Arakawa advection by
     psi + explicit diffusion /Pe + relaxation (msqg/qg.h:573-588), Neumann
-    tracer walls (set_vars bc_type+1, qg.h:869)."""
+    tracer walls (set_vars bc_type+1, qg.h:869). Rows-sharded mode as in
+    rhs_fused: tr_ext is ext_rows8 of the FLATTENED (nl*nptr, n_loc, nx)
+    tracer shard."""
     if interpret is None:
         interpret = default_interpret()
     kd: RhsKernelData = const.rhsk
@@ -652,10 +756,18 @@ def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
     tr_flat = tracers.reshape(ntr, n, nx)
     has_relax = const.ptr_relax is not None
     periodic = cfg.sbc < 0
+    rows = kd.rows > 0
+    if rows:
+        assert psi_ext is not None and tr_ext is not None \
+            and row0 is not None, "rows-sharded tracer_fused needs ext+row0"
 
     def specs3(c):
         center = pl.BlockSpec((c, T, nx), lambda i: (0, i, 0))
-        if periodic:
+        if rows:
+            up = pl.BlockSpec((c, 8, nx), lambda i: (0, i * tb, 0))
+            down = pl.BlockSpec((c, 8, nx),
+                                lambda i: (0, (i + 1) * tb + 1, 0))
+        elif periodic:
             up = pl.BlockSpec((c, 8, nx),
                               lambda i: (0, (i * tb - 1) % nb, 0))
             down = pl.BlockSpec((c, 8, nx),
@@ -668,13 +780,19 @@ def tracer_fused(cfg, const, psi: jnp.ndarray, tracers: jnp.ndarray,
                                                           nb - 1), 0))
         return [center, up, down]
 
-    args = [psi, psi, psi, tr_flat, tr_flat, tr_flat]
+    def tri(center, ext):
+        return [center, ext, ext] if rows else [center, center, center]
+
+    args = tri(psi, psi_ext) + tri(tr_flat, tr_ext)
     in_specs = specs3(nl) + specs3(ntr)
     if has_relax:
         args += [const.ptr_relax.reshape(ntr, n, nx)]
         in_specs += [pl.BlockSpec((ntr, T, nx), lambda i: (0, i, 0))]
+    args += [jnp.zeros((1,), jnp.int32) if row0 is None
+             else jnp.asarray(row0, jnp.int32).reshape(1)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
     kern = functools.partial(
-        _tracer_kernel, T=T, nglob=n, nl=nl, nptr=nptr,
+        _tracer_kernel, T=T, nglob=cfg.N, nl=nl, nptr=nptr,
         delta=float(cfg.delta),
         iPe=tuple(float(v) for v in cfg.iPe[:nptr]),
         ptr_ir=tuple(float(v) for v in cfg.ptr_ir[:nptr]),

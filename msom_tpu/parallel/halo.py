@@ -107,6 +107,19 @@ def ghosted_slip_sharded(zeta: jnp.ndarray, psi: Ghosted, sbc: float,
     return Ghosted(zeta, gl, gr, gb, gt)
 
 
+def ext_rows8(a: jnp.ndarray, ym: str = "y", wrap: bool = False,
+              overlap_tail=None) -> jnp.ndarray:
+    """concat([up8, a, dn8], axis=-2): the local shard extended with 8-row
+    ppermute halo slabs from its y-neighbors — the input layout of the
+    rows-sharded Pallas RHS kernels (models.pallas_rhs rows mode). At
+    non-wrap walls the slab content is ppermute zeros (never consumed: the
+    kernels' wall ghost rules key on the global row index). Requires the
+    local shard to have >= 8 rows."""
+    up = _shift_from_prev(a[..., -8:, :], ym, wrap)
+    dn = _shift_from_next(a[..., :8, :], ym, wrap)
+    return jnp.concatenate([up, a, dn], axis=-2)
+
+
 def overlap_enabled() -> bool:
     """Halo/compute overlap toggle (MSOM_HALO_OVERLAP, default on).
 

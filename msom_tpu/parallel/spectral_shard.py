@@ -101,6 +101,91 @@ def solve_spectral_sharded(data: spectral.SpectralData, q: jnp.ndarray,
                                                   pm, precision=mp)
 
 
+# ---------------------------------------------------------------------------
+# Pencil (transpose) decomposition — the kernel-keeping rows-sharded path
+# ---------------------------------------------------------------------------
+
+def a2a_cols(a: jnp.ndarray, ym: str = "y") -> jnp.ndarray:
+    """Rows-shard -> columns-shard transpose: local (..., ny_l, K) ->
+    (..., NY, k_l) via ONE lax.all_to_all over the mesh axis. Device d ends
+    holding the FULL y axis and its own contiguous K-block — the classic
+    distributed-spectral pencil step, riding ICI as a single collective
+    (vs the reference's per-level boundary_level chatter,
+    /root/reference/msqg/poisson_layer.h:263-306)."""
+    if lax.axis_size(ym) == 1:
+        return a
+    return lax.all_to_all(a, ym, split_axis=a.ndim - 1,
+                          concat_axis=a.ndim - 2, tiled=True)
+
+
+def a2a_rows(a: jnp.ndarray, ym: str = "y") -> jnp.ndarray:
+    """Inverse of a2a_cols: (..., NY, k_l) -> (..., ny_l, K)."""
+    if lax.axis_size(ym) == 1:
+        return a
+    return lax.all_to_all(a, ym, split_axis=a.ndim - 2,
+                          concat_axis=a.ndim - 1, tiled=True)
+
+
+def solve_spectral_pencil(data: spectral.SpectralData, q: jnp.ndarray,
+                          ym: str = "y") -> jnp.ndarray:
+    """Local-view psi = L^-1 q on a 1-D ROWS mesh — the distributed solve
+    that keeps the production transform kernels: every matmul (folded
+    Lee-DST stages or the dense basis) runs LOCALLY on full axes at exactly
+    1/ndev of the serial flops, and the only communication is two
+    all_to_all transposes per transform pair.
+
+        x-transform (local, full lane axis)
+        -> all_to_all transpose (y becomes local)
+        -> y-transform (local) -> * inv_den (sharded over the x-mode block)
+        -> inverse y-transform -> all_to_all back -> inverse x-transform
+
+    `q` is the device's (nl, ny_l, N) tile. `data` must carry a matmul
+    basis (S and/or the folded fac) — build via build_spectral with a
+    non-fft transform; inv_den passes through shard_map sharded over its
+    LAST axis (pencil_specs). On a 1-device mesh the all_to_alls are
+    identity and the math is the unsharded solver's, so single-chip cost
+    is preserved (the r4 decision-rule regression this path removes)."""
+    assert not data.refine, "pencil path: refine unsupported"
+    assert data.S is not None or data.fac is not None, \
+        "pencil spectral requires a matmul/folded basis (not fft)"
+    mp = spectral._MODE_PRECISION
+    qm = q if data.l2m is None else jnp.einsum("ml,lyx->myx", data.l2m, q,
+                                               precision=mp)
+    if data.fac is not None:
+        from msom_tpu.solvers import ctdst
+        if isinstance(data.fac, ctdst.FoldedDST1):
+            fx, fy = ctdst.fdst1_x, ctdst.fdst1_y
+            ix, iy = ctdst.ifdst1_x, ctdst.ifdst1_y
+        else:
+            fx, fy = ctdst.fdst_x, ctdst.fdst_y
+            ix, iy = ctdst.ifdst_x, ctdst.ifdst_y
+        Q = a2a_cols(fx(data.fac, qm), ym)
+        Q = fy(data.fac, Q)
+        P = Q * data.inv_den
+        pm = ix(data.fac, a2a_rows(iy(data.fac, P), ym))
+    else:
+        S = data.S
+        pr = spectral._MM_PRECISION
+        Q = jnp.einsum("ki,myi->myk", S, qm, precision=pr)
+        Q = a2a_cols(Q, ym)
+        Q = jnp.einsum("kj,mjx->mkx", S, Q, precision=pr)
+        P = Q * data.inv_den
+        pm = jnp.einsum("jk,mkx->mjx", S.T, P, precision=pr)
+        pm = jnp.einsum("ik,myk->myi", S.T, a2a_rows(pm, ym), precision=pr)
+    return pm if data.m2l is None else jnp.einsum("lm,myx->lyx", data.m2l,
+                                                  pm, precision=mp)
+
+
+def pencil_specs(data: spectral.SpectralData, ndev: int, ym: str = "y"):
+    """PartitionSpecs for the pencil path: inv_den sharded over its LAST
+    (x-mode) axis — the block each device owns after the transpose —
+    everything else replicated."""
+    sp = jax.tree.map(lambda _: P(), data)
+    if data.inv_den.shape[-1] % ndev == 0:
+        sp = dataclasses.replace(sp, inv_den=P(None, None, ym))
+    return sp
+
+
 def specs(data: spectral.SpectralData, my: int, mx: int):
     """PartitionSpecs for passing SpectralData through shard_map: inv_den
     tiled like the model fields, everything else (basis matrix, nl x nl mode

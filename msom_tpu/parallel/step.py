@@ -17,10 +17,23 @@ device slicing its (tile + ghost) window locally (their ghosts carry
 custom precomputed boundary laws, so no ppermute is needed for constant
 fields); passive tracers shard and advance like q. The modal inversion
 falls back to the GSPMD path.
+
+ROWS FAST PATH (v3, the kernel-keeping distributed mode): on a 1-D rows
+mesh (mx == 1) the step keeps BOTH single-chip fast paths on every shard —
+the fused Pallas RHS/tracer kernels (models.pallas_rhs rows mode: 8-row
+ppermute halo slabs feed the tile edges, wall ghost rules key on the
+global row index) and the folded-DST spectral inversion (pencil
+decomposition, parallel.spectral_shard.solve_spectral_pencil: local folded
+matmuls + two all_to_all transposes per transform pair). This is the
+distributed counterpart of the reference's one-and-only hot loop under MPI
+(/root/reference/msqg/qg.c:13-14): distribution no longer changes the
+per-rank code path. On a 1-device mesh every collective is the identity,
+so single-chip cost matches the unsharded kernel step.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -55,23 +68,62 @@ def tree_specs(tree, my: int, mx: int):
     return jax.tree.map(_spec_rule(my, mx), tree)
 
 
+def _build_rows_rhsk(cfg, const_example, my: int):
+    """Rows-mode RhsKernelData for the kernel-keeping path, or None when
+    the config cannot use the fused kernels (same gates as
+    models.qg.build_constants plus rows divisibility)."""
+    from msom_tpu.models import pallas_rhs
+    from msom_tpu.solvers.pallas_mg import default_interpret
+    if not getattr(cfg, "use_pallas", True):
+        return None
+    if jnp.dtype(cfg.dtype).itemsize > 4 and not default_interpret():
+        return None   # compiled TPU kernels are f32/bf16 only
+    strl = const_example.strl
+    sprof = None
+    if strl is not None:
+        s_np = np.asarray(strl)
+        if not np.array_equal(s_np, np.broadcast_to(s_np[..., :1],
+                                                    s_np.shape)):
+            return None
+        sprof = s_np[..., 0]
+    return pallas_rhs.build_kernel_data(
+        cfg, np.asarray(const_example.wind), sprof,
+        Ro=np.asarray(const_example.Ro),
+        pp_pad=const_example.pp_pad, topo_pad=const_example.topo_pad,
+        need_q=bool(cfg.stochastic or cfg.energy_conserv),
+        has_qforc=const_example.qforc is not None, rows=my)
+
+
 def make_qg_step_sharded(cfg, mesh, state_example, const_example):
     """Build (step, place): `step(state, const, tnext)` is the shard_map'ed
     predictor-corrector; `place(tree)` device_puts a pytree with the
     matching shardings.
 
-    The PV inversion is either the sharded multigrid (solver="mg",
-    shard_mg.solve_layered_sharded) or the sharded direct spectral solve
-    (solver="spectral", spectral_shard.solve_spectral_sharded — the
-    production fast path; the basis data is rebuilt here with
-    force_matmul=True so both BC bases shard)."""
+    The PV inversion is the sharded direct spectral solve
+    (solver="spectral") or the sharded multigrid (solver="mg"). On a rows
+    mesh (mx == 1) the ROWS FAST PATH applies (module docstring): fused
+    Pallas kernels + pencil folded-DST transforms; otherwise the
+    general-mesh XLA forms (reduce-scatter transform decomposition /
+    force_matmul basis)."""
     assert not (cfg.mode_pv_invert and const_example.iBu is not None), \
         "sharded step: layered (non-modal) inversion"
+    from msom_tpu.solvers.pallas_mg import default_interpret
     my, mx = mesh.devices.shape
     bc = m._bc_psi(cfg)
     DT = cfg.dt_clamped()
     delta = cfg.delta
     ny_l, nx_l = cfg.N // my, cfg.N // mx
+    periodic = cfg.sbc == -1
+
+    # rows fast path: fused kernels on shards (requires a pure-rows mesh)
+    rhsk_rows = None
+    if mx == 1:
+        rhsk_rows = _build_rows_rhsk(cfg, const_example, my)
+    use_kernels = rhsk_rows is not None and (
+        cfg.nptr == 0 or rhsk_rows.Ttr > 0)
+    if use_kernels:
+        from msom_tpu.models import pallas_rhs
+        const_example = dataclasses.replace(const_example, rhsk=rhsk_rows)
 
     def from_padded_local(p_pad):
         """Ghosted view of this device's tile cut from a REPLICATED padded
@@ -87,33 +139,71 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
         return ghosted_from_padded(lax.dynamic_slice(p_pad, start, size))
 
     sd = None
+    pencil = False
     if cfg.solver == "spectral":
         from msom_tpu.solvers import spectral as spectral_mod
         assert cfg.N % my == 0 and cfg.N % mx == 0, \
             "sharded spectral: N must divide the mesh"
         strl = const_example.strl
         sprof = None if strl is None else np.asarray(strl)[:, 0, 0]
-        sd = spectral_mod.build_spectral(
+        build = functools.partial(
+            spectral_mod.build_spectral,
             nl=cfg.nl, N=cfg.N, L0=cfg.L0, dh=np.asarray(cfg.dh[:cfg.nl]),
-            s_profile=sprof, periodic=(cfg.sbc == -1),
-            dtype=jnp.dtype(cfg.dtype), transform=cfg.transform,
-            force_matmul=True)
+            s_profile=sprof, periodic=periodic, dtype=jnp.dtype(cfg.dtype))
+        if mx == 1:
+            # pencil path: keep the production transform (folded DST /
+            # matmul basis); only the non-partitionable fft must go
+            pencil = True
+            sd = build(transform=cfg.transform
+                       if cfg.transform != "fft" else "matmul")
+            if sd.S is None and sd.fac is None:
+                sd = build(transform="matmul")
+        else:
+            sd = build(transform=cfg.transform, force_matmul=True)
 
     def ghost_deriv(f, parent_g):
-        if cfg.sbc == -1:
+        if periodic:
             return halo.ghosted_sharded(f, BC.PERIODIC)
         return halo.ghosted_slip_sharded(f, parent_g, cfg.sbc, delta)
 
-    def update(const, sdl, q, psi_guess, tr, prev):
+    def solve(const, sdl, q, psi_guess):
         if sdl is not None:
-            psi = spectral_shard.solve_spectral_sharded(sdl, q)
+            if pencil:
+                psi = spectral_shard.solve_spectral_pencil(sdl, q)
+            else:
+                psi = spectral_shard.solve_spectral_sharded(sdl, q)
             z = jnp.zeros((), q.dtype)
-            st = shard_mg.mg.MGStats(iters=jnp.zeros((), jnp.int32), resb=z,
-                                     resa=z, nrelax=jnp.zeros((), jnp.int32))
-        else:
-            psi, st = shard_mg.solve_layered_sharded(
-                psi_guess, q, levels=const.levels, my=my, mx=mx,
-                idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
+            st = shard_mg.mg.MGStats(iters=jnp.zeros((), jnp.int32),
+                                     resb=z, resa=z,
+                                     nrelax=jnp.zeros((), jnp.int32))
+            return psi, st
+        return shard_mg.solve_layered_sharded(
+            psi_guess, q, levels=const.levels, my=my, mx=mx,
+            idh0=const.idh0, idh1=const.idh1, bc=bc, tolerance=cfg.tol)
+
+    need_q = bool(cfg.stochastic or cfg.energy_conserv)
+
+    def update(const, sdl, q, psi_guess, tr, prev):
+        psi, st = solve(const, sdl, q, psi_guess)
+        if use_kernels:
+            from msom_tpu.models import pallas_rhs
+            row0 = lax.axis_index("y") * ny_l
+            psi_ext = halo.ext_rows8(psi, wrap=periodic)
+            q_ext = halo.ext_rows8(q, wrap=periodic) if need_q else None
+            dq, umax = pallas_rhs.rhs_fused(
+                cfg, const, psi, q if need_q else None,
+                psi_ext=psi_ext, q_ext=q_ext, row0=row0)
+            dtr = None
+            if tr is not None:
+                ntr = cfg.nl * cfg.nptr
+                tr_flat = tr.reshape(ntr, *tr.shape[-2:])
+                dtr = pallas_rhs.tracer_fused(
+                    cfg, const, psi, tr, psi_ext=psi_ext,
+                    tr_ext=halo.ext_rows8(tr_flat, wrap=periodic),
+                    row0=row0)
+            dtm, prev = m.cfl_from_umax(cfg, umax, const.rhsk.umax_pp,
+                                        DT, prev, reduce_fn=halo.pmax2)
+            return dq, dtr, psi, prev, dtm, st
         psi_g = halo.ghosted_sharded(psi, bc)
         if halo.overlap_enabled():
             # interior of zeta computes while the psi halos are in flight
@@ -176,9 +266,18 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
 
     state_specs = tree_specs(state_example, my, mx)
     const_specs = tree_specs(const_example, my, mx)
+    if use_kernels:
+        from msom_tpu.models import pallas_rhs
+        const_specs = dataclasses.replace(
+            const_specs, rhsk=pallas_rhs.rows_specs(rhsk_rows))
     diag_specs = jax.tree.map(lambda _: P(), m.StepDiag(
         dt=0.0, ke=0.0, mg_iters=0, mg_res=0.0))
-    sd_specs = None if sd is None else spectral_shard.specs(sd, my, mx)
+    if sd is None:
+        sd_specs = None
+    elif pencil:
+        sd_specs = spectral_shard.pencil_specs(sd, my)
+    else:
+        sd_specs = spectral_shard.specs(sd, my, mx)
 
     raw = shard_map(local_step, mesh=mesh,
                     in_specs=(state_specs, const_specs, sd_specs, P()),
@@ -186,7 +285,11 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
                     check_vma=False)
 
     def place(tree):
-        specs = tree_specs(tree, my, mx)
+        if use_kernels and isinstance(tree, m.QGConstants):
+            tree = dataclasses.replace(tree, rhsk=rhsk_rows)
+            specs = const_specs
+        else:
+            specs = tree_specs(tree, my, mx)
         return jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             tree, specs)
@@ -196,8 +299,16 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), sd,
             sd_specs)
 
-    @jax.jit
-    def step(state, const, tnext):
-        return raw(state, const, sd, tnext)
+    jstep = jax.jit(lambda state, const, tnext: raw(state, const, sd,
+                                                    tnext))
 
+    def step(state, const, tnext):
+        return jstep(state, const, tnext)
+
+    step.uses_kernels = use_kernels
+    step.uses_pencil = pencil
+    # traceable form for lax.scan chaining (bench): raw(state, const, sd,
+    # tnext) with `sd` already placed on the mesh
+    step.raw = raw
+    step.sd = sd
     return step, place
