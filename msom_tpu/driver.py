@@ -197,6 +197,11 @@ def run_qg(cfg: QGConfig, *, const=None, state=None, hooks: RunHooks = None,
         ok = (mx_r == 1 and cfg.N % my_r == 0
               and (cfg.N // my_r) % 8 == 0
               and not (cfg.mode_pv_invert and const.iBu is not None))
+        if ok and cfg.solver == "spectral":
+            from msom_tpu.solvers import spectral as spectral_mod
+            # y-varying strl (varRo) has no pencil decomposition yet:
+            # route through GSPMD (block-Thomas vary solve partitions)
+            ok = spectral_mod.applicable(cfg.nl, const.strl)
         if ok:
             step_r, place_r = make_qg_step_sharded(cfg, mesh_r, state,
                                                    const)

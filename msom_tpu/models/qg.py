@@ -83,12 +83,15 @@ class QGState:
     tracers: jnp.ndarray | None = None   # (nl, nptr, N, N)
     qof: jnp.ndarray | None = None       # (nl, N, N) filter-mean accumulator
     nbar: jnp.ndarray | None = None      # filter-mean counter
+    psi_old: jnp.ndarray | None = None   # previous step's psi (mg_extrap
+    #                                      warm-start state; None on the
+    #                                      direct-solve paths)
 
 
 jax.tree_util.register_dataclass(
     QGState,
     data_fields=["q", "psi", "t", "dt_prev", "i", "key", "tracers", "qof",
-                 "nbar"],
+                 "nbar", "psi_old"],
     meta_fields=[])
 
 
@@ -233,20 +236,30 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     sig_lev = tuple(jnp.asarray(s_, dt)
                     for s_ in sig_lev_pyramid(sig_filt, cfg.L0))
 
-    # direct spectral inversion (solver="spectral"): exact one-shot modal
-    # DST/FFT solve; valid when strl is spatially uniform (varRo == 0) —
-    # every reference config without a frpg input field
+    # direct spectral inversion (solver="spectral"): exact one-shot solve.
+    # Uniform strl (varRo == 0, no frpg) -> modal DST/FFT diagonalization;
+    # y-varying strl (varRo, or a y-profile frpg) -> the FACR-style
+    # DST-in-x + block-Thomas-in-y direct solve (solvers/vary.py). Only a
+    # fully 2-D-varying frpg still requires the multigrid.
     spec = None
     if cfg.solver == "spectral":
         from msom_tpu.solvers import spectral as spectral_mod
-        if not spectral_mod.applicable(nl, strl):
-            raise ValueError(
-                "solver='spectral' requires spatially-uniform stretching "
-                "(varRo=0, no frpg field); use solver='mg'")
-        sprof_spec = None if strl is None else np.asarray(strl)[:, 0, 0]
-        spec = spectral_mod.build_spectral(
-            nl=nl, N=N, L0=cfg.L0, dh=dh, s_profile=sprof_spec,
-            periodic=(cfg.sbc == -1), dtype=dt, transform=cfg.transform)
+        if spectral_mod.applicable(nl, strl):
+            sprof_spec = None if strl is None else np.asarray(strl)[:, 0, 0]
+            spec = spectral_mod.build_spectral(
+                nl=nl, N=N, L0=cfg.L0, dh=dh, s_profile=sprof_spec,
+                periodic=(cfg.sbc == -1), dtype=dt, transform=cfg.transform)
+        else:
+            from msom_tpu.solvers import vary as vary_mod
+            if not vary_mod.applicable(strl) or cfg.sbc == -1:
+                raise ValueError(
+                    "solver='spectral' requires stretching uniform or "
+                    "varying in y only, walled BCs (x-varying frpg or "
+                    "periodic varRo: use solver='mg')")
+            spec = vary_mod.build_spectral_vary(
+                nl=nl, N=N, L0=cfg.L0,
+                s_prof=np.asarray(strl)[..., 0], idh0=idh0, idh1=idh1,
+                dtype=dt, transform=cfg.transform)
 
     # fused Pallas RHS fast path: every walled (sbc >= 0) configuration —
     # coupled (PG/topo/qforc/tracers) or not, standard/stochastic/EC
@@ -306,7 +319,11 @@ def invert_q(cfg: QGConfig, const: QGConstants, psi_guess, q):
     reported residual is 0 by construction."""
     if const.spec is not None:
         from msom_tpu.solvers import spectral as spectral_mod
-        psi = spectral_mod.solve_spectral(const.spec, q)
+        from msom_tpu.solvers import vary as vary_mod
+        if isinstance(const.spec, vary_mod.VarySpectralData):
+            psi = vary_mod.solve_spectral_vary(const.spec, q)
+        else:
+            psi = spectral_mod.solve_spectral(const.spec, q)
         z = jnp.zeros((), q.dtype)
         return psi, mg.MGStats(iters=jnp.zeros((), jnp.int32), resb=z,
                                resa=z, nrelax=jnp.zeros((), jnp.int32))
@@ -355,9 +372,13 @@ def init_state(cfg: QGConfig, const: QGConstants, *, psi0=None, seed=0,
     if cfg.dtflt > 0:
         qof = jnp.zeros_like(q)
         nbar = jnp.asarray(0, jnp.int32)
+    # mg warm-start extrapolation state (guess = 2 psi - psi_old); starts
+    # equal to psi so the first step's guess degenerates to psi itself
+    psi_old = psi if (cfg.solver == "mg" and cfg.mg_extrap) else None
     return QGState(q=q, psi=psi, t=jnp.asarray(0.0, dt),
                    dt_prev=jnp.asarray(0.0, dt), i=jnp.asarray(0, jnp.int32),
-                   key=key, tracers=tracers, qof=qof, nbar=nbar)
+                   key=key, tracers=tracers, qof=qof, nbar=nbar,
+                   psi_old=psi_old)
 
 
 # ---------------------------------------------------------------------------
@@ -652,14 +673,21 @@ def make_step(cfg: QGConfig):
             return q_eval, tr_eval, psi, prev, dt, st
 
         zero = jnp.zeros((), q0.dtype)
+        # mg warm-start: extrapolate the previous two steps' psi as the
+        # first inversion's initial guess (the reference's in-place solve
+        # gets the same benefit implicitly, msqg/qg.h:113-163)
+        guess0 = state.psi
+        if state.psi_old is not None:
+            guess0 = 2.0 * state.psi - state.psi_old
         q1, tr1, psi1, prev, dt, st1 = substep(
-            q0, tr0, state.psi, state.dt_prev, zero, True)
+            q0, tr0, guess0, state.dt_prev, zero, True)
         q_new, tr_new, psi2, prev, dt, st2 = substep(
             q1, tr1, psi1, prev, dt, False)
 
         new = QGState(q=q_new, psi=psi2, t=state.t + dt, dt_prev=prev,
                       i=state.i + 1, key=key, tracers=tr_new,
-                      qof=state.qof, nbar=state.nbar)
+                      qof=state.qof, nbar=state.nbar,
+                      psi_old=None if state.psi_old is None else state.psi)
         diag = StepDiag(dt=dt, ke=kinetic_energy(cfg, psi2),
                         mg_iters=st1.iters, mg_res=st1.resa)
         return new, diag

@@ -144,6 +144,9 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
         from msom_tpu.solvers import spectral as spectral_mod
         assert cfg.N % my == 0 and cfg.N % mx == 0, \
             "sharded spectral: N must divide the mesh"
+        assert spectral_mod.applicable(cfg.nl, const_example.strl), \
+            "sharded spectral: uniform strl only (varRo configs route " \
+            "through GSPMD with the block-Thomas vary solve)"
         strl = const_example.strl
         sprof = None if strl is None else np.asarray(strl)[:, 0, 0]
         build = functools.partial(
@@ -249,7 +252,11 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             return q_eval, tr_eval, psi, prev, dt, st
 
         zero = jnp.zeros((), q0.dtype)
-        q1, tr1, psi1, prev, dt, st1 = substep(q0, tr0, state.psi,
+        # mg warm-start extrapolation (models.qg.make_step counterpart)
+        guess0 = state.psi
+        if state.psi_old is not None:
+            guess0 = 2.0 * state.psi - state.psi_old
+        q1, tr1, psi1, prev, dt, st1 = substep(q0, tr0, guess0,
                                                state.dt_prev, zero, True)
         q2, tr2, psi2, prev, dt, st2 = substep(q1, tr1, psi1, prev, dt,
                                                False)
@@ -260,7 +267,9 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
 
         new = m.QGState(q=q2, psi=psi2, t=state.t + dt, dt_prev=prev,
                         i=state.i + 1, key=key, tracers=tr2,
-                        qof=state.qof, nbar=state.nbar)
+                        qof=state.qof, nbar=state.nbar,
+                        psi_old=None if state.psi_old is None
+                        else state.psi)
         diag = m.StepDiag(dt=dt, ke=ke, mg_iters=st1.iters, mg_res=st1.resa)
         return new, diag
 

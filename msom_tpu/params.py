@@ -117,6 +117,14 @@ class QGConfig:
     #                          (matmul = DST as MXU matmuls; auto picks it for
     #                          f32 at N <= 4096, and it is the only transform
     #                          that shards cleanly under GSPMD)
+    mg_extrap: bool = True   # mg solver: warm-start the first inversion of
+    #                          each step from the LINEARLY EXTRAPOLATED
+    #                          previous psi (guess = 2 psi - psi_old) instead
+    #                          of psi itself — the TPU counterpart of the
+    #                          reference's in-place solve benefitting from
+    #                          the evolved field (msqg/qg.h:113-163); cuts
+    #                          V-cycles/step on the warm trajectory (PERF.md
+    #                          r5). No effect on the direct-solve paths.
     dtype: str = "float32"
 
     # ----- derived (read-only properties) -----

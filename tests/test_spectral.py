@@ -144,14 +144,76 @@ def test_newqg_spectral_vs_mg():
     assert np.allclose(traj["mg"], traj["spectral"], rtol=1e-7, atol=1e-12)
 
 
-def test_spectral_rejects_varying_stratification():
+def test_spectral_varying_stratification_exact():
+    """varRo (y-varying strl): solver='spectral' now takes the FACR-style
+    DST-in-x + block-Thomas-in-y direct solve (solvers/vary.py, VERDICT r5
+    #4). The solve must satisfy lap(psi) + Gamma(psi) = q to roundoff —
+    tighter than the mg path it unchains these configs from."""
+    from msom_tpu.models import qg as m
+    from msom_tpu.ops.bc import BC
+    from msom_tpu.ops.ghost import ghosted, laplacian_g
+    from msom_tpu.ops.stretch import stretch
+    from msom_tpu.params import QGConfig
+    from msom_tpu.solvers import vary as vary_mod
+
+    cfg = QGConfig(N=32, nl=3, L0=80, Rom=0.025, beta=0.5, varRo=1,
+                   Fr=(0.003, 0.005), dh=(0.2, 0.3, 0.5),
+                   solver="spectral", dtype="float64").validate()
+    const = m.build_constants(cfg)
+    assert isinstance(const.spec, vary_mod.VarySpectralData)
+    # strl really varies in y (else the test is vacuous)
+    s = np.asarray(const.strl)
+    assert not np.allclose(s, s[:, :1, :])
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((cfg.nl, cfg.N, cfg.N)))
+    psi, st = m.invert_q(cfg, const, jnp.zeros_like(q), q)
+    lhs = laplacian_g(ghosted(psi, BC.DIRICHLET), cfg.delta) \
+        + stretch(psi, const.strl, const.idh0, const.idh1)
+    rel = float(jnp.abs(lhs - q).max() / jnp.abs(q).max())
+    assert rel < 1e-11, rel
+
+    # every sweep implementation reproduces the sequential Thomas sweeps
+    psi_scan = vary_mod.solve_spectral_vary(const.spec, q, method="scan")
+    for meth in ("assoc", "blocked"):
+        psi_m = vary_mod.solve_spectral_vary(const.spec, q, method=meth)
+        assert float(jnp.abs(psi_m - psi_scan).max()) < 1e-13, meth
+
+    # x-varying stretching still has no direct solve
+    from msom_tpu.params import QGConfig as _QC
+    cfgx = _QC(N=16, nl=2, L0=80, Rom=0.025, Fr=(0.003,), dh=(0.5, 0.5),
+               solver="spectral", dtype="float64").validate()
+    frx = 0.003 * (1.0 + 0.1 * np.random.default_rng(0)
+                   .standard_normal((1, 16, 16)))
+    with pytest.raises(ValueError, match="spectral"):
+        m.build_constants(cfgx, frpg=frx)
+
+
+def test_spectral_vary_trajectory_matches_mg():
+    """varRo full-step trajectory: spectral(vary) vs mg over 10 steps."""
+    import dataclasses as dc
+
+    import jax
+
     from msom_tpu.models import qg as m
     from msom_tpu.params import QGConfig
-    cfg = QGConfig(N=16, nl=2, L0=80, Rom=0.025, beta=0.5, varRo=1,
-                   Fr=(0.003,), dh=(0.5, 0.5), solver="spectral",
-                   dtype="float64").validate()
-    with pytest.raises(ValueError, match="spectral"):
-        m.build_constants(cfg)
+
+    base = QGConfig(N=32, nl=3, L0=80, Rom=0.025, Ekb=0.002, tau0=1e-4,
+                    Re4=1563, beta=0.5, varRo=1,
+                    Fr=(0.0023669, 0.0076173), dh=(0.06, 0.14, 0.8),
+                    DT=5e-2, tend=1.0, dtout=1.0, CFL=0.6, tol=1e-9,
+                    dtype="float64")
+    traj = {}
+    for solver in ("mg", "spectral"):
+        cfg = dc.replace(base, solver=solver).validate()
+        const = m.build_constants(cfg)
+        state = m.init_state(cfg, const, seed=0)
+        step = jax.jit(m.make_step(cfg))
+        for _ in range(10):
+            state, diag = step(state, const, jnp.asarray(1e18,
+                                                         state.t.dtype))
+        traj[solver] = np.asarray(state.q)
+    assert np.allclose(traj["mg"], traj["spectral"], rtol=1e-6, atol=1e-10)
 
 
 def test_matmul_transform_matches_fft():
