@@ -163,12 +163,14 @@ def measure_rows(N, nl, dtype, tol, steps, spinup, coupled=False):
     return (time.time() - t0) / steps
 
 
-def measure_node(N, nl, dtype, steps, spinup):
+def measure_node(N, nl, dtype, steps, spinup, masked=False):
     """(wall s/step, wall s/wavelet-filter) for the qg-node baroclinic
     family (BASELINE.json deliverable 5: nodal multi-layer at 2048^2 with
     wavelet diagnostics). Same pinned protocol as measure(). The wavelet
     filter is an EVENT (fires every dtflt, not every step) so it is timed
-    separately."""
+    separately. `masked`: a curved-coastline interior mask — the qg-node
+    headline feature — routed through the fused masked vertex-sweep
+    multigrid (solvers/pallas_vmg.py; VERDICT r5 #3)."""
     import numpy as np
 
     from msom_tpu.models import qg_node as node
@@ -179,8 +181,19 @@ def measure_node(N, nl, dtype, steps, spinup):
         tau0=1e-3, nu=5.0 / scale, dh=tuple([1.0 / nl] * nl),
         N2=tuple([1.0] * (nl - 1)), noise_init=1e-3, bc_fac=1.0,
         DT=5e-2, tend=1e18, dtout=1e18, CFL=0.2, TOLERANCE=1e-5,
-        dtflt=1.0, Lfmax=30.0, Lfmin=10.0, dtype=dtype)
-    const = node.build_constants(cfg)
+        dtflt=1.0, Lfmax=30.0, Lfmin=10.0, dtype=dtype,
+        **(dict(solver="vmg") if masked else {}))
+    mask = None
+    if masked:
+        m = np.ones((N + 1, N + 1), np.float32)
+        yv = np.linspace(0, 1, N + 1)
+        coast = 0.15 + 0.08 * np.sin(3 * np.pi * yv) \
+            + 0.05 * np.cos(7 * np.pi * yv)
+        for j in range(N + 1):
+            m[j, : int(coast[j] * N)] = 0.0
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0.0
+        mask = m
+    const = node.build_constants(cfg, mask=mask)
     state = node.init_state(cfg, const, seed=0)
     step = node.make_step(cfg)
 
@@ -199,6 +212,8 @@ def measure_node(N, nl, dtype, steps, spinup):
     state, dts = chunk_j(state, const, steps)
     _ = float(state.q[0, 0, 0])
     wall = (time.time() - t0) / steps
+    if masked:
+        return wall, None
 
     # wavelet filter: scan-chained like the step (a single tunneled call
     # overstates by the ~25 ms RTT and per-call artifacts — a chained
@@ -337,6 +352,14 @@ def main():
         out["wall_s_per_step_node"] = w_node
         out["pts_per_s_node"] = node_N * node_N * 4 / w_node
         out["wall_s_per_filter_node"] = w_flt
+        # masked coastline at the same scale (fused masked vertex sweeps)
+        w_nm, _ = measure_node(node_N, 4, args.dtype,
+                               5 if args.quick else 10,
+                               10 if args.quick else 60, masked=True)
+        out["node_masked_config"] = (f"qg-node {node_N}^2 x 4 coastline-"
+                                     "masked (vmg + fused masked sweeps)")
+        out["wall_s_per_step_node_masked"] = w_nm
+        out["pts_per_s_node_masked"] = node_N * node_N * 4 / w_nm
         w_pg = measure_mspg(64, 30, args.dtype, 20 if args.quick else 60,
                             40 if args.quick else 120)
         out["mspg_config"] = "mspg 64^2 x 30-sigma gyre (reference params.in)"

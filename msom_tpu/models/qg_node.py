@@ -247,6 +247,7 @@ def build_constants(cfg: NodeQGConfig, *, mask=None, psi_pg=None, N2=None,
         else jnp.asarray(topo, dt) * cfg.scale_topo
 
     vlevels = vmg.build_vlevels(nl=nl, N=N, L0=cfg.L0, S2=S2, idh0=idh0,
+                                pallas=cfg.use_pallas,
                                 idh1=idh1, iRd2_low=cfg.iRd2_low, mask=mask,
                                 dtype=dt)
 

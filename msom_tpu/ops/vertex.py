@@ -84,9 +84,25 @@ def default_mask(N, dtype=jnp.float32):
 # vertex hierarchy transfer operators (my_vertex.h)
 # ---------------------------------------------------------------------------
 
+def _decimate2(x):
+    """Even-index stride-2 subsample of the last two (ODD-length) axes via
+    pad + reshape instead of a strided slice. Value-identical to
+    x[..., ::2, ::2]; exists because the strided-slice lowering faults the
+    XLA:TPU backend ('TPU worker crashed', kernel fault class) when two
+    multigrid while-loops containing it at (4, 2049, 2049) share one
+    program — the root cause of the r4 '2048^2 vmg OOM/crash' (bisected in
+    r5; the reshape form compiles and runs the full 11-level solver)."""
+    s = x.shape
+    if s[-1] % 2 == 0 or s[-2] % 2 == 0:
+        return x[..., ::2, ::2]   # even lengths: not the faulting pattern
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 1)])
+    x = x.reshape(*s[:-2], (s[-2] + 1) // 2, 2, s[-1] + 1)[..., 0, :]
+    return x.reshape(*x.shape[:-1], (s[-1] + 1) // 2, 2)[..., 0]
+
+
 def vrestrict_inject(f):
     """restriction_vert (my_vertex.h:49-51): coarse node = co-located fine."""
-    return f[..., ::2, ::2]
+    return _decimate2(f)
 
 
 def vrestrict_weighted(f):
@@ -104,7 +120,7 @@ def vrestrict_weighted(f):
     Nn = fp[..., 2:, 1:-1]
     S = fp[..., :-2, 1:-1]
     out = (2 * C + E + W + Nn + S) / 6.0
-    return out[..., ::2, ::2]
+    return _decimate2(out)
 
 
 def vrestrict_weighted16(f):
@@ -120,20 +136,33 @@ def vrestrict_weighted16(f):
     NE, NW = fp[..., 2:, 2:], fp[..., 2:, :-2]
     SE, SW = fp[..., :-2, 2:], fp[..., :-2, :-2]
     out = (4 * C + 2 * (E + W + Nn + S) + NE + NW + SE + SW) / 16.0
-    return out[..., ::2, ::2]
+    return _decimate2(out)
 
 
 def vprolong(c):
     """refine_vert (my_vertex.h:82-105): injection at co-located nodes,
     2-point average at edge midpoints, 4-point average at centers.
-    (..., n, n) -> (..., 2n-1, 2n-1)."""
+    (..., n, n) -> (..., 2n-1, 2n-1).
+
+    Built by stack/reshape INTERLEAVING, not strided .at[::2].set
+    scatters: the four-scatter form costs 350 ms at (4, 1025) -> (4, 2049)
+    on TPU v5e (it dominated the whole nodal V-cycle, PERF.md r5); the
+    interleave form is a few fused copies."""
     n = c.shape[-1]
-    m = 2 * n - 1
-    out = jnp.zeros(c.shape[:-2] + (m, m), c.dtype)
-    out = out.at[..., ::2, ::2].set(c)
-    out = out.at[..., ::2, 1::2].set(0.5 * (c[..., :, :-1] + c[..., :, 1:]))
-    out = out.at[..., 1::2, ::2].set(0.5 * (c[..., :-1, :] + c[..., 1:, :]))
-    out = out.at[..., 1::2, 1::2].set(
-        0.25 * (c[..., :-1, :-1] + c[..., :-1, 1:]
-                + c[..., 1:, :-1] + c[..., 1:, 1:]))
-    return out
+    xm = 0.5 * (c[..., :, :-1] + c[..., :, 1:])
+    ym = 0.5 * (c[..., :-1, :] + c[..., 1:, :])
+    cm = 0.25 * (c[..., :-1, :-1] + c[..., :-1, 1:]
+                 + c[..., 1:, :-1] + c[..., 1:, 1:])
+
+    def ilx(a, m):
+        """Interleave columns: a (..., r, k), m (..., r, k-1) ->
+        (..., r, 2k-1) = [a0, m0, a1, m1, ..., a_{k-1}]."""
+        body = jnp.stack([a[..., :-1], m], axis=-1)
+        body = body.reshape(*a.shape[:-1], 2 * (a.shape[-1] - 1))
+        return jnp.concatenate([body, a[..., -1:]], axis=-1)
+
+    even = ilx(c, xm)                         # (..., n, 2n-1)
+    odd = ilx(ym, cm)                         # (..., n-1, 2n-1)
+    body = jnp.stack([even[..., :-1, :], odd], axis=-2)
+    body = body.reshape(*even.shape[:-2], 2 * (n - 1), even.shape[-1])
+    return jnp.concatenate([body, even[..., -1:, :]], axis=-2)

@@ -39,15 +39,17 @@ class VLevel:
     cp: jnp.ndarray
     im: jnp.ndarray
     red: jnp.ndarray
+    vsw: object | None = None  # pallas_vmg.VSweepData fused-sweep data
 
 
 jax.tree_util.register_dataclass(
-    VLevel, data_fields=["S2", "mask", "t0", "cp", "im", "red"],
+    VLevel, data_fields=["S2", "mask", "t0", "cp", "im", "red", "vsw"],
     meta_fields=["delta", "lam"])
 
 
 def build_vlevels(*, nl, N, L0, S2=None, idh0=None, idh1=None,
-                  iRd2_low=0.0, mask=None, dtype=jnp.float32, minlevel=1):
+                  iRd2_low=0.0, mask=None, dtype=jnp.float32, minlevel=1,
+                  pallas=True):
     """Per-level data. S2 restricted by injection (S2.restriction =
     restriction_vert, qg_baroclinic_ms.h:424), mask by the 16-point weighted
     restriction (qg.h:419) with zero boundary ring at every level."""
@@ -81,8 +83,15 @@ def build_vlevels(*, nl, N, L0, S2=None, idh0=None, idh1=None,
         cp, im = tridiag.factor(t0, t1, t2)
         j = np.arange(n)
         red = jnp.asarray(((j[:, None] + j[None, :]) % 2) == 0)
+        vsw = None
+        if pallas:
+            from msom_tpu.solvers import pallas_vmg
+            t0b = jnp.broadcast_to(t0, (max(nl, 1),) + t0.shape[-2:])
+            cpb = jnp.broadcast_to(cp, t0b.shape)
+            imb = jnp.broadcast_to(im, t0b.shape)
+            vsw = pallas_vmg.build_vsweep(t0b, cpb, imb, mask_l, dtype)
         levels.append(VLevel(delta=delta, S2=S2_l, lam=iRd2_low, mask=mask_l,
-                             t0=t0, cp=cp, im=im, red=red))
+                             t0=t0, cp=cp, im=im, red=red, vsw=vsw))
         if S2_l is not None:
             S2_l = vertex.vrestrict_inject(S2_l)
         mask_l = vertex.set_ring(vertex.vrestrict_weighted16(mask_l),
@@ -91,11 +100,11 @@ def build_vlevels(*, nl, N, L0, S2=None, idh0=None, idh1=None,
 
 
 def _vlap(a, delta):
-    """Masked 5-point vertex Laplacian on interior nodes; zero on the ring."""
-    out = jnp.zeros_like(a)
+    """Masked 5-point vertex Laplacian on interior nodes; zero on the ring
+    (jnp.pad, not .at[].set — see relax_v's XLA:TPU fault note)."""
     lap = (a[..., 1:-1, 2:] + a[..., 1:-1, :-2] + a[..., 2:, 1:-1]
            + a[..., :-2, 1:-1] - 4 * a[..., 1:-1, 1:-1]) / (delta * delta)
-    return out.at[..., 1:-1, 1:-1].set(lap)
+    return jnp.pad(lap, [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)])
 
 
 def residual_v(a, b, lvl: VLevel, idh0, idh1):
@@ -112,29 +121,53 @@ def residual_v(a, b, lvl: VLevel, idh0, idh1):
 
 
 def relax_v(da, res, lvl: VLevel, nrelax):
-    """Red-black masked vertical-line relaxation."""
+    """Red-black masked vertical-line relaxation.
+
+    Implementation note: the neighbor sum pads with jnp.pad and the color
+    update is an arithmetic blend, NOT .at[].set + boolean jnp.where — the
+    scatter/select forms trip an XLA:TPU codegen fault ('TPU worker
+    crashed', kernel fault class) when TWO vpoisson while-loops of this
+    relaxation appear in one program at (4, 2049, 2049) — the actual root
+    cause of the r4 '2048^2 vmg OOM/crash' together with the f32
+    stagnation spin (see vpoisson)."""
+    from msom_tpu.solvers import pallas_mg, pallas_vmg
     d2 = lvl.delta * lvl.delta
+    if lvl.vsw is not None and pallas_mg.enabled(da.dtype):
+        def kbody(_, da):
+            return pallas_vmg.vrb_sweep(da, res, lvl.vsw, d2=d2)
+        return jax.lax.fori_loop(0, nrelax, kbody, da)
+    red = lvl.red.astype(da.dtype)
 
     def one_color(da, cmask):
-        nb = jnp.zeros_like(da)
         nbsum = (da[..., 1:-1, 2:] + da[..., 1:-1, :-2]
                  + da[..., 2:, 1:-1] + da[..., :-2, 1:-1])
-        nb = nb.at[..., 1:-1, 1:-1].set(nbsum)
+        nb = jnp.pad(nbsum, [(0, 0)] * (da.ndim - 2) + [(1, 1), (1, 1)])
         rhs = (-d2 * res + nb) * lvl.mask
         x = tridiag.solve_factored(lvl.cp, lvl.im, lvl.t0, rhs)
-        return jnp.where(cmask, x * lvl.mask, da)
+        return cmask * (x * lvl.mask) + (1.0 - cmask) * da
 
     def body(_, da):
-        da = one_color(da, lvl.red)
-        da = one_color(da, ~lvl.red)
+        da = one_color(da, red)
+        da = one_color(da, 1.0 - red)
         return da
 
     return jax.lax.fori_loop(0, nrelax, body, da)
 
 
 def vpoisson(a0, b, *, levels: Sequence[VLevel], idh0, idh1,
-             tolerance=1e-5, nrelax=5, nitermax=NITERMAX):
-    """Solve the nodal PV inversion; returns (a, MGStats)."""
+             tolerance=1e-5, nrelax=5, nitermax=NITERMAX,
+             stall_ratio=0.9):
+    """Solve the nodal PV inversion; returns (a, MGStats).
+
+    In addition to the reference's absolute max-norm tolerance
+    (nodal-poisson.h:119-134, TOLERANCE=1e-5 assumes f64), iteration stops
+    when a cycle fails to reduce the residual by at least
+    (1 - stall_ratio): in f32 at large N the residual floors at the
+    roundoff of the operator application (~3e-5 at 2048^2, ABOVE the
+    reference tolerance), and without this cutoff every solve burned all
+    NITERMAX=100 cycles at the floor — the actual cause of the r4
+    '2048^2 vmg OOM/crash' (a watchdog kill of the futile ~100 x 11-level
+    program, not memory: the compiled step needs only 3.7 GB)."""
     nlev = len(levels)
 
     def cycle(a, res):
@@ -150,18 +183,21 @@ def vpoisson(a0, b, *, levels: Sequence[VLevel], idh0, idh1,
         return a + da
 
     res0, maxres0 = residual_v(a0, b, levels[0], idh0, idh1)
+    big = jnp.asarray(jnp.finfo(res0.dtype).max / 4, res0.dtype)
 
     def cond(state):
-        a, res, resa, i = state
-        return (i < nitermax) & ((i < 1) | (resa > tolerance))
+        a, res, resa, resp, i = state
+        progressing = resa <= stall_ratio * resp
+        return (i < nitermax) & ((i < 1)
+                                 | ((resa > tolerance) & progressing))
 
     def body(state):
-        a, res, resa, i = state
+        a, res, resa, resp, i = state
         a = cycle(a, res)
         res, resa = residual_v(a, b, levels[0], idh0, idh1)
-        return (a, res, resa, i + 1)
+        return (a, res, resa, state[2], i + 1)
 
-    a, res, resa, iters = jax.lax.while_loop(
-        cond, body, (a0, res0, maxres0, jnp.asarray(0, jnp.int32)))
+    a, res, resa, resp, iters = jax.lax.while_loop(
+        cond, body, (a0, res0, maxres0, big, jnp.asarray(0, jnp.int32)))
     return a, MGStats(iters=iters, resb=maxres0, resa=resa,
                       nrelax=jnp.asarray(nrelax, jnp.int32))
