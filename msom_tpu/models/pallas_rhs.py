@@ -16,14 +16,15 @@ lowering of the same math costs ~25 ms at 2048^2 x 4 layers for the
 uncoupled case alone (dozens of unfused roll/select kernels); each kernel
 here is one grid pass.
 
-Not covered (callers fall back to models.qg.rhs): the doubly-periodic case
-WITH large-scale coupling (pp carries the custom non-wrap ghost law,
-msqg/qg.h:1105-1114), and spatially x-varying stretching/wind/Ro fields
-(the kernel streams them as y-profiles; a 2-D frpg input disables it).
-The plain doubly-periodic case (sbc == -1, pp == 0) IS covered: the halo
-slabs WRAP (modular BlockSpec index maps) and every ghost rule becomes a
-pure roll; topography keeps its Neumann pad exactly as the XLA path's
-topo_pad does.
+Not covered (callers fall back to models.qg.rhs): spatially x-varying
+stretching/wind/Ro fields (the kernel streams them as y-profiles; a 2-D
+frpg input disables it). The doubly-periodic cases (sbc == -1) ARE
+covered, coupled or not: psi/q/tracer halo slabs WRAP (modular BlockSpec
+index maps) and their ghost rules become pure rolls; topography keeps
+its Neumann pad via the grow-keyed rule; and pp (whose periodic ghost
+law is the custom NON-wrap dirichlet(vpg x - upg y), msqg/qg.h:1105-1114)
+streams as pre-tiled PADDED views with the law baked in at build (the
+`_LS_RV` periodic-channel configuration, msqg/qg.h:5, VERDICT r5 #9).
 
 Ghost handling: ghost values are materialized in-register from the uniform
 per-axis rules, composed x-after-y exactly like ops.bc.pad / ops.ghost:
@@ -79,6 +80,12 @@ class RhsKernelData:
     umax_pp: jnp.ndarray | None  # (nl,) precomputed pp CFL face maxima
     pp_ext: jnp.ndarray | None   # rows mode: (nl, rows*(n_loc+16), N)
     topo_ext: jnp.ndarray | None
+    pp_t: jnp.ndarray | None     # periodic-coupled: PRE-TILED PADDED pp
+    #                              (nl, ntiles*(T+8), N+2) — the custom
+    #                              non-wrap ghost law (msqg/qg.h:1105-1114)
+    #                              is baked into pp_pad at build, so the
+    #                              kernel reads plain views
+    zetap_t: jnp.ndarray | None  # same for the _LS_RV zetap_pad
     T: int
     Ttr: int                   # tracer-kernel tile (0: tracer kernel off)
     rows: int = 0              # row-shard count (0: unsharded layout)
@@ -87,7 +94,7 @@ class RhsKernelData:
 jax.tree_util.register_dataclass(
     RhsKernelData,
     data_fields=["strl", "wind", "iro", "pp", "topo", "umax_pp", "pp_ext",
-                 "topo_ext"],
+                 "topo_ext", "pp_t", "zetap_t"],
     meta_fields=["T", "Ttr", "rows"])
 
 
@@ -118,6 +125,23 @@ def _pick_tile(n: int, nfields: float, itemsize: int,
     return None
 
 
+def _tile_padded(f_pad: np.ndarray, T: int) -> np.ndarray:
+    """(C, n+2, nx+2) PADDED constant -> (C, ntiles*(T+8), nx+2) tiles:
+    tile i holds pad rows [iT-2, iT+T+6) clamped; its first T+6 rows are
+    interior view rows [iT-3, iT+T+3) — the same row window as the psi
+    halo slab. 3-D tile-concatenated layout + 8-multiple tile height
+    (Mosaic block rules)."""
+    C, np2, nx2 = f_pad.shape
+    n = np2 - 2
+    ntiles = n // T
+    rows = np.arange(-2, T + 6)
+    out = np.empty((C, ntiles * (T + 8), nx2), f_pad.dtype)
+    for i in range(ntiles):
+        out[:, i * (T + 8):(i + 1) * (T + 8), :] = \
+            f_pad[:, np.clip(i * T + rows, 0, np2 - 1), :]
+    return out
+
+
 def _ext_windows(a: np.ndarray, rows: int) -> np.ndarray:
     """Concatenated per-shard halo-extended windows of a global (..., N, nx)
     constant: shard d's block is rows [d*n_loc - 8, d*n_loc + n_loc + 8) of
@@ -137,7 +161,7 @@ def _ext_windows(a: np.ndarray, rows: int) -> np.ndarray:
 def build_kernel_data(cfg, const_wind: np.ndarray,
                       strl_prof: np.ndarray | None, *,
                       Ro: np.ndarray | None = None,
-                      pp_pad=None, topo_pad=None,
+                      pp_pad=None, topo_pad=None, zetap_pad=None,
                       need_q: bool = False,
                       has_qforc: bool = False,
                       rows: int = 0) -> RhsKernelData | None:
@@ -152,10 +176,6 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
     `rows`-way y decomposition — T divides N//rows and the pp/topo
     constants gain halo-extended per-shard windows."""
     periodic = cfg.sbc < 0
-    if periodic and pp_pad is not None:
-        # the periodic pp ghost law is custom (msqg/qg.h:1105-1114) — not
-        # streamable with uniform rules; fall back to the XLA path
-        return None
     N, nl = cfg.N, cfg.nl
     dt = jnp.dtype(cfg.dtype)
     itemsize = dt.itemsize
@@ -197,7 +217,7 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
     iro_t = None
     if has_topo:
         iro_t = jnp.asarray(_tile_profile(irop[None, :], T, _H), dt)
-    pp = umax_pp = pp_ext = None
+    pp = umax_pp = pp_ext = pp_t = zetap_t = None
     if has_pg:
         from msom_tpu.ops.ghost import ghosted_from_padded, \
             max_face_speed_layers
@@ -209,6 +229,15 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
             jnp.asarray(pp_pad)), float(cfg.delta))
         if rows:
             pp_ext = jnp.asarray(_ext_windows(np.asarray(pp), rows), dt)
+        if periodic:
+            # the periodic pp ghost law is custom (non-wrap,
+            # msqg/qg.h:1105-1114); it is baked into pp_pad at build, so
+            # the kernel streams PRE-TILED PADDED views instead of
+            # applying a rule
+            pp_t = jnp.asarray(_tile_padded(np.asarray(pp_pad), T), dt)
+            if flsrv and zetap_pad is not None:
+                zetap_t = jnp.asarray(
+                    _tile_padded(np.asarray(zetap_pad), T), dt)
     topo = topo_ext = None
     if has_topo:
         topo_np = np.asarray(topo_pad)[None, 1:-1, 1:-1]
@@ -217,6 +246,7 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
             topo_ext = jnp.asarray(_ext_windows(topo_np, rows), dt)
     return RhsKernelData(strl=strl, wind=wind, iro=iro_t, pp=pp, topo=topo,
                          umax_pp=umax_pp, pp_ext=pp_ext, topo_ext=topo_ext,
+                         pp_t=pp_t, zetap_t=zetap_t,
                          T=T, Ttr=Ttr, rows=rows)
 
 
@@ -244,6 +274,8 @@ def rows_specs(kd: RhsKernelData, ym: str = "y"):
         umax_pp=None if kd.umax_pp is None else P(),
         pp_ext=None if kd.pp_ext is None else row3,
         topo_ext=None if kd.topo_ext is None else row3,
+        pp_t=None if kd.pp_t is None else row3,
+        zetap_t=None if kd.zetap_t is None else row3,
         T=kd.T, Ttr=kd.Ttr, rows=kd.rows)
 
 
@@ -378,6 +410,18 @@ def _views_wrap(f):
                 nw=_yroll(fW, 1), sw=_yroll(fW, -1))
 
 
+def _views_padded(px):
+    """center + 8 neighbor views of a PRE-PADDED (C, R, nx+2) tile whose
+    ghost values (custom laws baked in at build) ride the extra columns
+    and the halo rows — plain slices/rolls, no ghost rules."""
+    c = px[:, :, 1:-1]
+    e = px[:, :, 2:]
+    w = px[:, :, :-2]
+    return dict(c=c, e=e, w=w, n=_yroll(c, 1), s=_yroll(c, -1),
+                ne=_yroll(e, 1), se=_yroll(e, -1),
+                nw=_yroll(w, 1), sw=_yroll(w, -1))
+
+
 def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
                 idh0, idh1, has_strl, has_pg, flsrv, has_topo, has_qforc,
                 need_q, stochastic, energy_conserv, itr_stoch, sbc,
@@ -386,7 +430,11 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
     psi_c, psi_u, psi_d = next(it), next(it), next(it)
     if need_q:
         q_c, q_u, q_d = next(it), next(it), next(it)
-    if has_pg:
+    if has_pg and periodic:
+        ppt_r = next(it)
+        if flsrv:
+            zpt_r = next(it)
+    elif has_pg:
         pp_c, pp_u, pp_d = next(it), next(it), next(it)
     if has_topo:
         topo_c, topo_u, topo_d = next(it), next(it), next(it)
@@ -426,6 +474,12 @@ def _rhs_kernel(*refs, T, nglob, delta, beta, iRe, iRe4, ek_top, ek_bot,
         zeta = (pv["e"] + pv["w"] + pv["n"] + pv["s"] - 4.0 * psi) * id2
         zv = _views_wrap(zeta)
         zeta_f = zeta
+        if has_pg:
+            # pp does NOT wrap: its custom ghost law rides the pre-padded
+            # tile (msqg/qg.h:1105-1114 via build-time pp_pad)
+            ppv = _views_padded(ppt_r[:, :R, :])
+            if flsrv:
+                zpv = _views_padded(zpt_r[:, :R, :])
         if need_q:
             q = slab(q_c, q_u, q_d)
             if energy_conserv:
@@ -635,7 +689,17 @@ def rhs_fused(cfg, const, psi: jnp.ndarray, q: jnp.ndarray | None = None,
     if need_q:
         args += tri(q, q_ext)
         in_specs += specs3(nl)
-    if has_pg:
+    if has_pg and periodic:
+        # pre-tiled padded constants: (nl, T+8, nx+2) blocks per tile
+        def pt_spec(carr):
+            return pl.BlockSpec((carr.shape[0], T + 8, carr.shape[-1]),
+                                lambda i: (0, i, 0))
+        args += [kd.pp_t]
+        in_specs += [pt_spec(kd.pp_t)]
+        if kd.zetap_t is not None:
+            args += [kd.zetap_t]
+            in_specs += [pt_spec(kd.zetap_t)]
+    elif has_pg:
         args += tri(kd.pp, kd.pp_ext)
         in_specs += specs3(nl)
     if has_topo:

@@ -280,7 +280,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
         if ok:
             rhsk = pallas_rhs.build_kernel_data(
                 cfg, np.asarray(wind), sprof, Ro=Ro,
-                pp_pad=pp_pad, topo_pad=topo_pad,
+                pp_pad=pp_pad, topo_pad=topo_pad, zetap_pad=zetap_pad,
                 need_q=bool(cfg.stochastic or cfg.energy_conserv),
                 has_qforc=qforc is not None)
 

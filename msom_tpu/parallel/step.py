@@ -90,6 +90,7 @@ def _build_rows_rhsk(cfg, const_example, my: int):
         cfg, np.asarray(const_example.wind), sprof,
         Ro=np.asarray(const_example.Ro),
         pp_pad=const_example.pp_pad, topo_pad=const_example.topo_pad,
+        zetap_pad=const_example.zetap_pad,
         need_q=bool(cfg.stochastic or cfg.energy_conserv),
         has_qforc=const_example.qforc is not None, rows=my)
 

@@ -281,7 +281,38 @@ def test_rhs_fused_periodic():
     assert const_tr.rhsk.Ttr > 0
     _compare_rhs(cfg_tr, const_tr)
 
-    # periodic + PG coupling must fall back (custom pp ghost law)
+    # periodic + PG coupling is covered too since r5 (pre-tiled padded
+    # pp views; test_rhs_fused_periodic_coupled exercises it)
     cfg_pg = QGConfig(**_base_kw(sbc=-1.0, upg=(0.1, 0.0, 0.0))).validate()
     const_pg = m.build_constants(cfg_pg)
-    assert not pallas_rhs.applicable(cfg_pg, const_pg)
+    assert pallas_rhs.applicable(cfg_pg, const_pg)
+    assert const_pg.rhsk.pp_t is not None
+
+
+def test_rhs_fused_periodic_coupled():
+    """Doubly-periodic WITH large-scale coupling (the _LS_RV periodic-
+    channel class, msqg/qg.h:5,1105-1114; VERDICT r5 #9): pp/zetap stream
+    as pre-tiled padded views with the custom non-wrap ghost law baked in
+    at build; topography + 3-D forcing ride along."""
+    rng = np.random.default_rng(9)
+    N = 128
+    cfg = QGConfig(**_base_kw(
+        sbc=-1.0, flsrv=1, Re=500.0,
+        upg=(0.02, 0.01, 0.0), vpg=(0.01, -0.005, 0.0))).validate()
+    tp = 0.05 * np.sin(np.linspace(0, 2 * np.pi, N))[:, None] \
+        * np.ones((N, N))
+    qf = 1e-4 * rng.standard_normal((cfg.nl, N, N))
+    const = m.build_constants(cfg, topo=tp, qforc=qf)
+    assert const.rhsk is not None and const.rhsk.pp_t is not None
+    assert const.rhsk.zetap_t is not None
+    _compare_rhs(cfg, const)
+
+
+def test_rhs_fused_periodic_coupled_ec():
+    """Periodic + pp + ENERGY_CONSERV advection through the kernel."""
+    cfg = QGConfig(**_base_kw(
+        sbc=-1.0, energy_conserv=True,
+        upg=(0.02, 0.0, 0.0), vpg=(0.0, -0.005, 0.0))).validate()
+    const = m.build_constants(cfg)
+    assert const.rhsk is not None and const.rhsk.pp_t is not None
+    _compare_rhs(cfg, const)
