@@ -353,9 +353,11 @@ def main():
         out["pts_per_s_node"] = node_N * node_N * 4 / w_node
         out["wall_s_per_filter_node"] = w_flt
         # masked coastline at the same scale (fused masked vertex sweeps)
+        # warm trajectory (the V-cycle count is state-dependent: 100-step
+        # spin-up settles it at 2.0/step, the PERF.md r5 protocol)
         w_nm, _ = measure_node(node_N, 4, args.dtype,
                                5 if args.quick else 10,
-                               10 if args.quick else 60, masked=True)
+                               10 if args.quick else 100, masked=True)
         out["node_masked_config"] = (f"qg-node {node_N}^2 x 4 coastline-"
                                      "masked (vmg + fused masked sweeps)")
         out["wall_s_per_step_node_masked"] = w_nm

@@ -276,3 +276,32 @@ def test_pencil_solve_matches_single(periodic, nl):
     psi_sh = f(sd, q)
     scale = float(jnp.abs(psi_ref).max())
     assert float(jnp.abs(psi_sh - psi_ref).max()) / scale < 1e-13
+
+
+def test_run_qg_auto_varro_routes_gspmd():
+    """varRo + spectral has no pencil decomposition: auto must route to
+    GSPMD and the block-Thomas vary solve must execute partitioned on the
+    8-device mesh (finite state, a few steps)."""
+    from msom_tpu import driver
+
+    cfg = coupled_cfg(varRo=1, flsrv=0)
+    const = m.build_constants(cfg)
+    state = m.init_state(cfg, const, seed=0)
+    s = driver.run_qg(cfg, const=const, state=state, max_steps=3,
+                      sharded="auto")
+    assert driver.run_qg.sharded_mode == "gspmd"
+    assert np.isfinite(np.asarray(s.q)).all()
+
+
+def test_rows_step_stochastic_runs():
+    """Stochastic rows path (per-device noise streams differ from the
+    unsharded draw by design): kernels engage, state stays finite."""
+    cfg = coupled_cfg(stochastic=True, tr_stoch=50.0, amp_stoch=1e-6,
+                      flsrv=0)
+    const = m.build_constants(cfg, psipg=_PP)
+    state0 = m.init_state(cfg, const, seed=0)
+    mesh = rows_mesh(8)
+    step_sh, place = make_qg_step_sharded(cfg, mesh, state0, const)
+    assert step_sh.uses_kernels
+    sp, dp = _run_steps(step_sh, place, state0, const)
+    assert np.isfinite(np.asarray(sp.q)).all() and np.isfinite(float(dp.ke))
