@@ -309,11 +309,13 @@ def make_qg_step_sharded(cfg, mesh, state_example, const_example):
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), sd,
             sd_specs)
 
-    jstep = jax.jit(lambda state, const, tnext: raw(state, const, sd,
-                                                    tnext))
+    # sd is passed as a jit ARGUMENT, not a closure: in multi-process runs
+    # a closed-over mesh-placed array spans non-addressable devices (and
+    # through the TPU tunnel a closure would embed as an HLO literal)
+    jstep = jax.jit(raw)
 
     def step(state, const, tnext):
-        return jstep(state, const, tnext)
+        return jstep(state, const, sd, tnext)
 
     step.uses_kernels = use_kernels
     step.uses_pencil = pencil

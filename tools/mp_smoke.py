@@ -87,7 +87,33 @@ def main():
     # every process must see the master's file (shared fs)
     assert os.path.exists(os.path.join(outdir, "q.npy"))
 
+    # --- rows-KERNEL sharded step across the two OS processes ------------
+    # (parallel/step.py rows fast path: fused Pallas kernels in interpret
+    # mode + pencil transforms, ppermute/all_to_all crossing the process
+    # boundary; result checked against a process-local unsharded run)
+    os.environ["MSOM_PALLAS"] = "interpret"
+    from msom_tpu.parallel.step import make_qg_step_sharded
+
+    mesh_r = Mesh(np.array(jax.devices()).reshape(nprocs, 1), ("y", "x"))
+    const_r = m.build_constants(cfg)
+    state_r = m.init_state(cfg, const_r, seed=0)
+    step_r, place_r = make_qg_step_sharded(cfg, mesh_r, state_r, const_r)
+    assert step_r.uses_kernels and step_r.uses_pencil
+    sp, cp = place_r(state_r), place_r(const_r)
+    for _ in range(3):
+        sp, dp = step_r(sp, cp, jnp.asarray(1e18, jnp.float64))
+    q_rows = np.asarray(dist.fetch_global(sp.q))
+
+    su = m.init_state(cfg, const_r, seed=0)
+    stepu = jax.jit(m.make_step(cfg))
+    for _ in range(3):
+        su, du = stepu(su, const_r, jnp.asarray(1e18, jnp.float64))
+    q_ref = np.asarray(su.q)
+    rel_rows = float(np.abs(q_rows - q_ref).max() / np.abs(q_ref).max())
+    assert rel_rows < 1e-11, rel_rows
+
     print(json.dumps({"rank": rank, "ok": True, "ke": ke,
+                      "rows_rel": rel_rows,
                       "processes": jax.process_count()}), flush=True)
 
 
