@@ -96,6 +96,10 @@ def pg_to_qg_inputs(pg_cfg, b, u, v, *, il, N_qg, scales: PGScales = None,
     yy = ys + (np.arange(N) + 0.5) / N
     f0 = yy * sc.L * sc.beta                            # (N,)
     Ro = sc.u_qg / (f0 * sc.l_qg)
+    # the msqg Rom convention evaluates 1/f at the MEAN latitude
+    # (modes.py uses f0 = yc.mean()*L*beta for the uniform-strat case);
+    # mean(1/f) would overshoot by ~(spread/2)^2
+    Rom = float(sc.u_qg / (f0.mean() * sc.l_qg))
 
     # QG layer aggregation (modes.py:136-158)
     il = list(il)
@@ -140,7 +144,6 @@ def pg_to_qg_inputs(pg_cfg, b, u, v, *, il, N_qg, scales: PGScales = None,
     frpg = np.concatenate([regrid_bicubic(Fr, 1.0, N_qg),
                            np.zeros((1, N_qg, N_qg))], axis=0)
     rdpg = regrid_bicubic(rd_a, 1.0, N_qg)[0]
-    Rom = float(np.mean(Ro))
     return dict(psipg=psipg, frpg=frpg, rdpg=rdpg,
                 dh=tuple(dzt / sc.H), Rom=Rom)
 

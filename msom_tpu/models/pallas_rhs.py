@@ -227,7 +227,9 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
         # the exact function the XLA path uses
         umax_pp = max_face_speed_layers(ghosted_from_padded(
             jnp.asarray(pp_pad)), float(cfg.delta))
-        if rows:
+        if rows and not periodic:
+            # the periodic pp path consumes pp_t exclusively — building
+            # pp_ext there would be dead HBM + shard_map argument traffic
             pp_ext = jnp.asarray(_ext_windows(np.asarray(pp), rows), dt)
         if periodic:
             # the periodic pp ghost law is custom (non-wrap,
@@ -248,6 +250,20 @@ def build_kernel_data(cfg, const_wind: np.ndarray,
                          umax_pp=umax_pp, pp_ext=pp_ext, topo_ext=topo_ext,
                          pp_t=pp_t, zetap_t=zetap_t,
                          T=T, Ttr=Ttr, rows=rows)
+
+
+def strl_profile(strl):
+    """Shared kernel gate for the stretching field: (ok, y_profile).
+    The kernels stream strl as an (nl-1, N) y-profile, so it must be
+    x-uniform; ok=False disables the fused path (a 2-D frpg input).
+    Single source of truth for models.qg.build_constants AND the
+    rows-sharded builder (parallel.step)."""
+    if strl is None:
+        return True, None
+    s = np.asarray(strl)
+    if not np.array_equal(s, np.broadcast_to(s[..., :1], s.shape)):
+        return False, None
+    return True, s[..., 0]
 
 
 def applicable(cfg, const) -> bool:

@@ -268,15 +268,7 @@ def build_constants(cfg: QGConfig, *, psipg=None, frpg=None, rdpg=None,
     rhsk = None
     if cfg.use_pallas:
         from msom_tpu.models import pallas_rhs
-        s_np = None if strl is None else np.asarray(strl)
-        sprof = None
-        ok = True
-        if s_np is not None:
-            if np.array_equal(s_np, np.broadcast_to(s_np[..., :1],
-                                                    s_np.shape)):
-                sprof = s_np[..., 0]
-            else:
-                ok = False
+        ok, sprof = pallas_rhs.strl_profile(strl)
         if ok:
             rhsk = pallas_rhs.build_kernel_data(
                 cfg, np.asarray(wind), sprof, Ro=Ro,

@@ -107,8 +107,8 @@ def ghosted_slip_sharded(zeta: jnp.ndarray, psi: Ghosted, sbc: float,
     return Ghosted(zeta, gl, gr, gb, gt)
 
 
-def ext_rows8(a: jnp.ndarray, ym: str = "y", wrap: bool = False,
-              overlap_tail=None) -> jnp.ndarray:
+def ext_rows8(a: jnp.ndarray, ym: str = "y",
+              wrap: bool = False) -> jnp.ndarray:
     """concat([up8, a, dn8], axis=-2): the local shard extended with 8-row
     ppermute halo slabs from its y-neighbors — the input layout of the
     rows-sharded Pallas RHS kernels (models.pallas_rhs rows mode). At

@@ -78,14 +78,9 @@ def _build_rows_rhsk(cfg, const_example, my: int):
         return None
     if jnp.dtype(cfg.dtype).itemsize > 4 and not default_interpret():
         return None   # compiled TPU kernels are f32/bf16 only
-    strl = const_example.strl
-    sprof = None
-    if strl is not None:
-        s_np = np.asarray(strl)
-        if not np.array_equal(s_np, np.broadcast_to(s_np[..., :1],
-                                                    s_np.shape)):
-            return None
-        sprof = s_np[..., 0]
+    ok, sprof = pallas_rhs.strl_profile(const_example.strl)
+    if not ok:
+        return None
     return pallas_rhs.build_kernel_data(
         cfg, np.asarray(const_example.wind), sprof,
         Ro=np.asarray(const_example.Ro),

@@ -250,6 +250,9 @@ def solve_spectral_vary(data: VarySpectralData, q: jnp.ndarray,
 
     if method == "blocked":
         C = _BLOCK if (N % _BLOCK == 0 and N // _BLOCK >= 2) else N // 4
+        if C < 1 or N % C:
+            method = "scan"   # no valid block size for this N
+    if method == "blocked":
         P = -a * data.W
         c = jnp.einsum("abyk,byk->ayk", data.W, X, precision=_MM_PRECISION)
         Y = _blocked_sweep(P, c, nl, C)

@@ -156,19 +156,25 @@ def relax_v(da, res, lvl: VLevel, nrelax):
 
 def vpoisson(a0, b, *, levels: Sequence[VLevel], idh0, idh1,
              tolerance=1e-5, nrelax=5, nitermax=NITERMAX,
-             stall_ratio=0.9):
+             stall_ratio=None):
     """Solve the nodal PV inversion; returns (a, MGStats).
 
     In addition to the reference's absolute max-norm tolerance
-    (nodal-poisson.h:119-134, TOLERANCE=1e-5 assumes f64), iteration stops
+    (nodal-poisson.h:119-134, TOLERANCE=1e-5 assumes f64), F32 solves stop
     when a cycle fails to reduce the residual by at least
-    (1 - stall_ratio): in f32 at large N the residual floors at the
-    roundoff of the operator application (~3e-5 at 2048^2, ABOVE the
-    reference tolerance), and without this cutoff every solve burned all
-    NITERMAX=100 cycles at the floor — the actual cause of the r4
-    '2048^2 vmg OOM/crash' (a watchdog kill of the futile ~100 x 11-level
-    program, not memory: the compiled step needs only 3.7 GB)."""
+    (1 - stall_ratio) (default 0.9): in f32 at large N the residual
+    floors at the roundoff of the operator application (~3e-5 at 2048^2,
+    ABOVE the reference tolerance), and without this cutoff every solve
+    burned all NITERMAX=100 cycles at the floor — the actual cause of the
+    r4 '2048^2 vmg OOM/crash' (a watchdog kill of the futile
+    ~100 x 11-level program, not memory: the compiled step needs only
+    3.7 GB). In f64 the roundoff-floor rationale does not apply, so the
+    cutoff is OFF unless stall_ratio is passed explicitly (reference
+    semantics: iterate to tolerance or NITERMAX)."""
     nlev = len(levels)
+    if stall_ratio is None:
+        stall_ratio = 0.9 if jnp.dtype(b.dtype).itemsize <= 4 \
+            else float("inf")   # inf -> `progressing` is always True
 
     def cycle(a, res):
         pyr = [res]
